@@ -1,0 +1,178 @@
+"""Core layer kit shared by all models.
+
+TPU conventions used throughout:
+- images are NHWC; convolutions use HWIO kernels (XLA:TPU native layout)
+- parameters are stored fp32; compute dtype is configurable (bf16 default in
+  inference), with normalisations always accumulating in fp32 (mirrors the
+  fp16-safe LayerNorm at
+  `/root/reference/FaithDiff/models/unet_2d_condition_vae_extension.py:229-235`)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def get_timestep_embedding(
+    timesteps: jax.Array,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """Sinusoidal timestep embeddings (diffusers `get_timestep_embedding`
+    semantics, used by SDXL time + micro-conditioning embeddings).
+
+    Args:
+        timesteps: [N] array of timestep values (may be float).
+    Returns:
+        [N, embedding_dim] fp32 embeddings.
+    """
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — CLIP/FaithDiff info-transformer activation
+    (`unet_2d_condition_vae_extension.py:222-226`)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACT2FN: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+}
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        spatial = x.shape[1:-1]
+        g = self.num_groups
+        xg = x.reshape(x.shape[0], *spatial, g, c // g)
+        # reduce over spatial dims and the within-group channel dim, keep group
+        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=red_axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = xg.reshape(x.shape[0], *spatial, c)
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    """fp32-accurate LayerNorm that preserves the input dtype."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (x * scale + bias).astype(orig_dtype)
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv wrapper: fp32 params, compute in `dtype`."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            name="dense",
+        )(x)
+
+
+def zeros_init():
+    return nn.initializers.zeros
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP over sinusoidal embeddings (diffusers TimestepEmbedding)."""
+
+    time_embed_dim: int
+    act_fn: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear_1")(sample)
+        x = ACT2FN[self.act_fn](x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear_2")(x)
+        return x

@@ -1,0 +1,22 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (the TPU answer to "test distributed
+without a cluster" — SURVEY.md §4)."""
+import os
+
+# Force CPU even if the surrounding environment selects a TPU platform
+# (e.g. JAX_PLATFORMS=axon): unit tests must be fast, local, and fp32-exact.
+# NOTE: the env var alone is not enough under the axon plugin — the explicit
+# config.update below is what actually wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
