@@ -218,7 +218,7 @@ def tiny_unet_config() -> UNetConfig:
         norm_num_groups=8,
         addition_time_embed_dim=8,
         projection_class_embeddings_input_dim=8 * 6 + 64,
-        condition_channels=48,
+        condition_channels=64,
         info_transformer_dim=64,
         info_transformer_heads=4,
         info_transformer_layers=2,
@@ -235,7 +235,7 @@ def tiny_vae_config() -> VAEConfig:
 
 def tiny_denoise_encoder_config() -> DenoiseEncoderConfig:
     return DenoiseEncoderConfig(
-        block_out_channels=(16, 32, 48, 48),
+        block_out_channels=(16, 32, 64, 64),
         norm_num_groups=8,
         tile_sample_min_size=64,
     )

@@ -58,7 +58,9 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 ACT2FN: dict[str, Callable[[jax.Array], jax.Array]] = {
     "silu": jax.nn.silu,
     "swish": jax.nn.silu,
-    "gelu": jax.nn.gelu,
+    # "gelu" is the exact erf form (HF convention); "gelu_new" the tanh approx
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "quick_gelu": quick_gelu,
     "relu": jax.nn.relu,
     "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),

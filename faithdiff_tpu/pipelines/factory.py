@@ -1,0 +1,113 @@
+"""Model factory: build a wired FaithDiff pipeline.
+
+Equivalent of `/root/reference/FaithDiff/create_FaithDiff_model.py:11-37`
+(`FaithDiff_pipeline`): construct VAE + extended UNet + denoise_encoder +
+schedulers and wire them into the tiled pipeline. Weights come from
+converted checkpoints (`utils/convert.py`) or random init for dry runs.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (DenoiseEncoderConfig, PipelineConfig, SchedulerConfig,
+                      UNetConfig, VAEConfig, tiny_denoise_encoder_config,
+                      tiny_unet_config, tiny_vae_config)
+from ..models.unet import UNet2DConditionModel
+from ..models.vae import AutoencoderKL, DenoiseEncoder, sample_from_moments
+from ..schedulers import DDPMScheduler, EulerDiscreteScheduler
+from .faithdiff import FaithDiffPipeline
+
+
+def build_pipeline(
+    unet_config: UNetConfig = UNetConfig(),
+    vae_config: VAEConfig = VAEConfig(),
+    denoise_encoder_config: DenoiseEncoderConfig = DenoiseEncoderConfig(),
+    scheduler_config: SchedulerConfig = SchedulerConfig(),
+    pipeline_config: PipelineConfig = PipelineConfig(),
+    unet_params: Optional[Any] = None,
+    vae_params: Optional[Any] = None,
+    denoise_encoder_params: Optional[Any] = None,
+    dtype=jnp.bfloat16,
+    init_rng: Optional[jax.Array] = None,
+    init_image_size: int = 64,
+    tile_sharding=None,
+) -> FaithDiffPipeline:
+    """Build the pipeline; any params left None are randomly initialised
+    (tiny shapes) — useful for dry runs and benchmarks without checkpoints."""
+    unet = UNet2DConditionModel(config=unet_config, dtype=dtype)
+    vae = AutoencoderKL(config=vae_config, dtype=dtype)
+    denoise_encoder = DenoiseEncoder(config=denoise_encoder_config, dtype=dtype)
+
+    if init_rng is None:
+        init_rng = jax.random.PRNGKey(0)
+    r1, r2, r3 = jax.random.split(init_rng, 3)
+    s = init_image_size
+
+    if unet_params is None:
+        pooled_dim = unet_config.projection_class_embeddings_input_dim - \
+            unet_config.addition_time_embed_dim * 6
+        unet_params = unet.init(
+            r1,
+            jnp.zeros((2, s // 8, s // 8, unet_config.in_channels)),
+            jnp.zeros((2,)),
+            jnp.zeros((2, 77, unet_config.cross_attention_dim)),
+            jnp.zeros((2, pooled_dim)),
+            jnp.zeros((2, 6)),
+            jnp.zeros((2, s // 8, s // 8, unet_config.condition_channels)),
+        )
+    if vae_params is None:
+        vae_params = vae.init(r2, jnp.zeros((1, s, s, 3)))
+    if denoise_encoder_params is None:
+        denoise_encoder_params = denoise_encoder.init(
+            r3, jnp.zeros((1, s, s, 3)))
+
+    scaling = vae_config.scaling_factor
+
+    def unet_apply(params, sample, t, ctx, pooled, time_ids, cond,
+                   add_sample, fusion_group_size):
+        return unet.apply(params, sample, t, ctx, pooled, time_ids, cond,
+                          add_sample=add_sample,
+                          fusion_group_size=fusion_group_size)
+
+    def de_apply(params, image):
+        return denoise_encoder.apply(params, image)
+
+    def vae_encode(params, image, key):
+        moments = vae.apply(params, image,
+                            method=AutoencoderKL.encode_moments)
+        z = sample_from_moments(moments, key)
+        return z.astype(jnp.float32) * scaling
+
+    def vae_decode(params, latents):
+        return vae.apply(params, latents, method=AutoencoderKL.decode)
+
+    return FaithDiffPipeline(
+        unet_apply=unet_apply,
+        denoise_encoder_apply=de_apply,
+        vae_encode=vae_encode,
+        vae_decode=vae_decode,
+        unet_params=unet_params,
+        denoise_encoder_params=denoise_encoder_params,
+        vae_params=vae_params,
+        scheduler=EulerDiscreteScheduler(scheduler_config),
+        ddpm_scheduler=DDPMScheduler(scheduler_config),
+        config=pipeline_config,
+        vae_scaling_factor=scaling,
+        tile_sharding=tile_sharding,
+    )
+
+
+def build_tiny_pipeline(**kwargs) -> FaithDiffPipeline:
+    """Tiny-config pipeline for tests and CI dry runs."""
+    defaults = dict(
+        unet_config=tiny_unet_config(),
+        vae_config=tiny_vae_config(),
+        denoise_encoder_config=tiny_denoise_encoder_config(),
+        pipeline_config=PipelineConfig(tile_size=256, num_inference_steps=4),
+        dtype=jnp.float32,
+    )
+    defaults.update(kwargs)
+    return build_pipeline(**defaults)

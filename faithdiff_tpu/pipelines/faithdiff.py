@@ -1,0 +1,259 @@
+"""The FaithDiff tiled (TLC) restoration pipeline.
+
+Capability-equivalent to
+`/root/reference/FaithDiff/pipelines/pipeline_FaithDiff_tlc.py` (class
+`FaithDiffStableDiffusionXLPipeline.__call__`, :1008-1459), redesigned
+TPU-first:
+
+- the reference's sequential Python loop over tiles (`:1330`) becomes a
+  single batched UNet call with tiles stacked on the batch axis — the CFG
+  pair of each tile kept adjacent so the fusion transformer's
+  cross-batch attention sees exactly the reference's per-tile [uncond, cond]
+  sequence (see `models/adapters.py`)
+- the denoise loop (`:1323`) is a `jax.lax.scan` over timesteps, fully
+  on-device: split -> UNet -> CFG -> scheduler step -> Gaussian blend-merge
+  -> re-split per step, all traced once
+- per-tile scheduler state (`views_scheduler_status`, `:1282`) is pure: the
+  Euler/DDIM family used here is deterministic per step, so a shared state
+  array + the step index reproduces the deep-copied per-tile dicts exactly
+- tiles shard across chips over ICI by putting a `NamedSharding` on the tile
+  batch axis (the reference runs tiles sequentially on one GPU)
+
+Latent layout NHWC; [B=1, H/8, W/8, 4].
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig, SchedulerConfig
+from ..schedulers import DDPMScheduler, EulerDiscreteScheduler
+from ..utils.color_fix import adain_color_fix, wavelet_color_fix
+from ..utils.image import (denormalize_from_diffusion,
+                           normalize_to_diffusion)
+from .tiling import (TileLayout, compute_tile_layout, gaussian_tile_weights,
+                     merge_tiles, split_tiles, tile_position_ids)
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
+    """CFG rescale (`pipeline_FaithDiff_tlc.py:286-305`)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg
+
+
+@dataclasses.dataclass
+class FaithDiffPipeline:
+    """Orchestrates denoise_encoder -> tiled UNet denoising -> VAE decode.
+
+    Model `apply` callables are injected so the pipeline stays framework-thin:
+      unet_apply(params, sample, t, context, pooled, time_ids, cond,
+                 fusion_group_size) -> eps
+      denoise_encoder_apply(params, image) -> LQ features [B, H/8, W/8, 512]
+      vae_encode(params, image, key) -> scaled latents
+      vae_decode(params, latents) -> image in [-1, 1]
+    """
+
+    unet_apply: Callable
+    denoise_encoder_apply: Callable
+    vae_encode: Callable
+    vae_decode: Callable
+    unet_params: Any
+    denoise_encoder_params: Any
+    vae_params: Any
+    scheduler: EulerDiscreteScheduler = dataclasses.field(
+        default_factory=EulerDiscreteScheduler)
+    ddpm_scheduler: DDPMScheduler = dataclasses.field(
+        default_factory=DDPMScheduler)
+    config: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    vae_scaling_factor: float = 0.13025
+    latents_mean: Optional[Tuple[float, ...]] = None
+    latents_std: Optional[Tuple[float, ...]] = None
+    tile_sharding: Optional[jax.sharding.NamedSharding] = None
+
+    # ------------------------------------------------------------------
+    # jitted core
+    # ------------------------------------------------------------------
+
+    def __post_init__(self):
+        # bound method closure over self; recompiles only per static args
+        self._jit_denoise = jax.jit(
+            self._denoise_loop,
+            static_argnames=("layout", "num_steps", "guidance_scale",
+                            "guidance_rescale", "add_sample"),
+        )
+
+    def _denoise_loop(
+        self,
+        unet_params,
+        latents: jax.Array,            # [1, h, w, 4] initial noisy latents
+        image_latent_tiles: jax.Array,  # [T, k1, k2, C] LQ feature tiles
+        prompt_embeds: jax.Array,      # [2, 77*, 2048] (neg, pos)
+        pooled_embeds: jax.Array,      # [2, 1280]
+        base_time_ids: jax.Array,      # [T, 6] per-tile micro-conditioning
+        layout: TileLayout,
+        num_steps: int,
+        guidance_scale: float,
+        guidance_rescale: float,
+        add_sample: bool,
+    ) -> jax.Array:
+        sched = self.scheduler
+        state = sched.set_timesteps(num_steps)
+        t_count = layout.num_tiles
+        weights = jnp.asarray(gaussian_tile_weights(*layout.kernel))
+
+        # batch layout: tile-major CFG pairs [neg_0, pos_0, neg_1, pos_1, ...]
+        ctx = jnp.tile(prompt_embeds, (t_count, 1, 1))
+        pooled = jnp.tile(pooled_embeds, (t_count, 1))
+        time_ids = jnp.repeat(base_time_ids, 2, axis=0)
+        img_tiles2 = jnp.repeat(image_latent_tiles, 2, axis=0)
+
+        def step_fn(latents, i):
+            tiles = split_tiles(latents, layout)              # [T, k, k, 4]
+            model_in = jnp.repeat(tiles, 2, axis=0)           # CFG pairs
+            model_in = sched.scale_model_input(state, model_in, i)
+            t = state.timesteps[i]
+            eps = self.unet_apply(
+                unet_params, model_in, t, ctx, pooled, time_ids, img_tiles2,
+                add_sample, 2,
+            )
+            eps = eps.reshape(t_count, 2, *eps.shape[1:])
+            eps_uncond, eps_text = eps[:, 0], eps[:, 1]
+            eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+            if guidance_rescale > 0.0:
+                eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            tiles = sched.step(state, eps, i, tiles)
+            latents = merge_tiles(tiles, layout, weights)
+            return latents, ()
+
+        latents, _ = jax.lax.scan(
+            step_fn, latents, jnp.arange(num_steps), unroll=1
+        )
+        return latents
+
+    # ------------------------------------------------------------------
+    # host orchestration
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        lr_image: np.ndarray,                  # [H, W, 3] float in [0, 1]
+        prompt_embeds: jax.Array,              # [1, 77*, 2048] positive
+        pooled_prompt_embeds: jax.Array,       # [1, 1280]
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        negative_pooled_prompt_embeds: Optional[jax.Array] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        guidance_rescale: Optional[float] = None,
+        overlap: Optional[float] = None,
+        start_point: Optional[str] = None,
+        add_sample: Optional[bool] = None,
+        color_fix: Optional[str] = None,
+        seed: int = 0,
+        latents: Optional[jax.Array] = None,
+        output_type: str = "np",
+    ) -> np.ndarray:
+        cfg = self.config
+        num_inference_steps = num_inference_steps or cfg.num_inference_steps
+        guidance_scale = (cfg.guidance_scale if guidance_scale is None
+                          else guidance_scale)
+        guidance_rescale = (cfg.guidance_rescale if guidance_rescale is None
+                            else guidance_rescale)
+        overlap = cfg.tile_overlap if overlap is None else overlap
+        start_point = start_point or cfg.start_point
+        add_sample = cfg.add_sample if add_sample is None else add_sample
+        color_fix = cfg.color_fix if color_fix is None else color_fix
+
+        h, w = lr_image.shape[:2]
+        if h % 8 or w % 8:
+            raise ValueError(
+                f"input must be /8-padded (use utils.image.check_image_size);"
+                f" got {h}x{w}")
+        target_size = (h, w)
+        original_size = (h, w)
+        lh, lw = h // 8, w // 8
+        tile_k = (min(cfg.tile_size // 8, lh), min(cfg.tile_size // 8, lw))
+        layout = compute_tile_layout(lh, lw, tile_k, overlap)
+
+        key = jax.random.PRNGKey(seed)
+        key, k_lat, k_vae = jax.random.split(key, 3)
+
+        image = jnp.asarray(lr_image, jnp.float32)[None]       # [1, H, W, 3]
+        image = normalize_to_diffusion(image)
+
+        # LQ features via denoise_encoder (`prepare_image_latents`, :950-1004)
+        image_latents = self.denoise_encoder_apply(
+            self.denoise_encoder_params, image)
+        image_latent_tiles = split_tiles(image_latents, layout)
+
+        # initial latents (`prepare_latents`, :819-835)
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        if latents is None:
+            latents = jax.random.normal(k_lat, (1, lh, lw, 4), jnp.float32)
+        latents = latents * state.init_noise_sigma
+
+        if start_point == "lr":
+            # noise the LR latent to t=999 (`:1271-1276`): the scaled random
+            # latents act as the DDPM noise term
+            lr_latents = self.vae_encode(self.vae_params, image, k_vae)
+            latents = self.ddpm_scheduler.add_noise(
+                lr_latents, latents, jnp.array([999]))
+
+        # negative embeds: zeros (force_zeros_for_empty_prompt, `:622-625`)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        if negative_pooled_prompt_embeds is None:
+            negative_pooled_prompt_embeds = jnp.zeros_like(pooled_prompt_embeds)
+        embeds = jnp.concatenate(
+            [negative_prompt_embeds, prompt_embeds], axis=0)
+        pooled = jnp.concatenate(
+            [negative_pooled_prompt_embeds, pooled_prompt_embeds], axis=0)
+
+        # per-tile add_time_ids: [orig, (i, j) latent offset, target]
+        # (`:1337-1345` — tile offsets in latent units, sizes in pixels)
+        pos = tile_position_ids(layout).astype(np.float32)
+        base_time_ids = np.concatenate(
+            [
+                np.tile(np.asarray(original_size, np.float32), (layout.num_tiles, 1)),
+                pos,
+                np.tile(np.asarray(target_size, np.float32), (layout.num_tiles, 1)),
+            ],
+            axis=1,
+        )
+
+        if self.tile_sharding is not None:
+            image_latent_tiles = jax.device_put(
+                image_latent_tiles, self.tile_sharding)
+
+        latents = self._jit_denoise(
+            self.unet_params, latents, image_latent_tiles, embeds, pooled,
+            jnp.asarray(base_time_ids), layout, num_inference_steps,
+            float(guidance_scale), float(guidance_rescale), bool(add_sample),
+        )
+
+        if output_type == "latent":
+            return latents
+
+        # denormalize + decode (`:1423-1438`)
+        if self.latents_mean is not None and self.latents_std is not None:
+            mean = jnp.asarray(self.latents_mean).reshape(1, 1, 1, 4)
+            std = jnp.asarray(self.latents_std).reshape(1, 1, 1, 4)
+            latents = latents * std / self.vae_scaling_factor + mean
+        else:
+            latents = latents / self.vae_scaling_factor
+        image_out = self.vae_decode(self.vae_params, latents)
+        image_out = denormalize_from_diffusion(image_out)
+
+        if color_fix in ("wavelet", "adain"):
+            src = jnp.asarray(lr_image, jnp.float32)[None]
+            fix = wavelet_color_fix if color_fix == "wavelet" else adain_color_fix
+            image_out = fix(image_out, src)
+
+        return np.asarray(image_out[0])

@@ -19,4 +19,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: UNet fwd/bwd compiles dominate test time
+jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests on tiny configs (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faithdiff_tpu.config import PipelineConfig, tiny_unet_config
+from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return build_tiny_pipeline()
+
+
+def _embeds(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    pe = jnp.asarray(rng.standard_normal((1, 77, cfg.cross_attention_dim)),
+                     jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, 64)), jnp.float32)
+    return pe, pooled
+
+
+def test_pipeline_end_to_end(pipe):
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
+    out = pipe(img, pe, pooled, num_inference_steps=2, seed=3)
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_pipeline_multi_tile(pipe):
+    """96x96 input with 32-latent tiles -> multi-tile path."""
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(2).random((96, 96, 3)).astype(np.float32)
+    out = pipe(img, pe, pooled, num_inference_steps=2, seed=3)
+    assert out.shape == (96, 96, 3)
+    assert np.isfinite(out).all()
+
+
+def test_pipeline_deterministic_per_seed(pipe):
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(3).random((64, 64, 3)).astype(np.float32)
+    a = pipe(img, pe, pooled, num_inference_steps=2, seed=7)
+    b = pipe(img, pe, pooled, num_inference_steps=2, seed=7)
+    c = pipe(img, pe, pooled, num_inference_steps=2, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6
+
+
+def test_pipeline_start_point_noise_vs_lr(pipe):
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(4).random((64, 64, 3)).astype(np.float32)
+    out_lr = pipe(img, pe, pooled, num_inference_steps=2, seed=3,
+                  start_point="lr")
+    out_noise = pipe(img, pe, pooled, num_inference_steps=2, seed=3,
+                     start_point="noise")
+    assert np.abs(out_lr - out_noise).max() > 1e-6
+
+
+def test_pipeline_latent_output_and_color_fix_modes(pipe):
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(5).random((64, 64, 3)).astype(np.float32)
+    lat = pipe(img, pe, pooled, num_inference_steps=2, seed=3,
+               output_type="latent")
+    assert lat.shape == (1, 8, 8, 4)
+    for mode in ("wavelet", "adain", "nofix"):
+        out = pipe(img, pe, pooled, num_inference_steps=2, seed=3,
+                   color_fix=mode)
+        assert out.shape == (64, 64, 3)
+
+
+def test_pipeline_rejects_unpadded_input(pipe):
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.zeros((63, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="/8-padded"):
+        pipe(img, pe, pooled)

@@ -1,0 +1,174 @@
+"""Training step tests: stage-1 freezing, loss decrease, EMA semantics,
+data-parallel sharding over the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from faithdiff_tpu.config import (SchedulerConfig, TrainConfig,
+                                  tiny_denoise_encoder_config,
+                                  tiny_unet_config, tiny_vae_config)
+from faithdiff_tpu.models.unet import UNet2DConditionModel
+from faithdiff_tpu.models.vae import (AutoencoderKL, DenoiseEncoder,
+                                      sample_from_moments)
+from faithdiff_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                         replicated,
+                                         shard_leading_divisible)
+from faithdiff_tpu.training.ema import (ema_copy_to, ema_decay_for_step,
+                                        ema_init, ema_update)
+from faithdiff_tpu.training.train import (init_train_state, make_train_step,
+                                          param_labels)
+
+
+def _setup(stage=1):
+    ucfg = tiny_unet_config()
+    dcfg = tiny_denoise_encoder_config()
+    vcfg = tiny_vae_config()
+    unet = UNet2DConditionModel(config=ucfg)
+    de = DenoiseEncoder(config=dcfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    s = 32
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(
+        rng, jnp.zeros((1, s // 8, s // 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)), jnp.zeros((1, 64)),
+        jnp.zeros((1, 6)), jnp.zeros((1, s // 8, s // 8, ucfg.condition_channels)))
+    de_params = de.init(rng, jnp.zeros((1, s, s, 3)))
+    vae_params = vae.init(rng, jnp.zeros((1, s, s, 3)))
+
+    cfg = TrainConfig(stage=stage, max_train_steps=50, lr_warmup_steps=0,
+                      learning_rate=1e-3, vis_learning_rate=1e-4,
+                      noise_offset=0.02, ema_update_interval=1)
+    state, tx = init_train_state(cfg, unet_params, de_params)
+
+    def vae_encode(p, img, key):
+        m = vae.apply(p, img, method=AutoencoderKL.encode_moments)
+        return sample_from_moments(m, key).astype(jnp.float32) * vcfg.scaling_factor
+
+    def unet_apply(p, *args):
+        return unet.apply(p, *args[:6], add_sample=args[6],
+                          fusion_group_size=args[7])
+
+    step = make_train_step(
+        unet_apply, lambda p, x: de.apply(p, x), vae_encode, vae_params,
+        tx, cfg, SchedulerConfig())
+
+    def batch(b=2, seed=0):
+        r = np.random.default_rng(seed)
+        return {
+            "hr": jnp.asarray(r.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+            "lq": jnp.asarray(r.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+            "prompt_embeds": jnp.asarray(
+                r.standard_normal((b, 77, ucfg.cross_attention_dim)), jnp.float32),
+            "pooled_embeds": jnp.asarray(r.standard_normal((b, 64)), jnp.float32),
+            "add_time_ids": jnp.zeros((b, 6), jnp.float32),
+        }
+
+    return state, step, batch
+
+
+def test_param_labels_stage1():
+    params = {
+        "unet": {"conv_in": {"kernel": 0}, "condition_embedding": {"b": 0},
+                 "information_transformer": {"c": 0}},
+        "denoise_encoder": {"d": 0},
+    }
+    labels = param_labels(params, 1)
+    assert labels["unet"]["conv_in"]["kernel"] == "freeze"
+    assert labels["unet"]["condition_embedding"]["b"] == "train"
+    assert labels["unet"]["information_transformer"]["c"] == "train"
+    assert labels["denoise_encoder"]["d"] == "freeze"
+    labels2 = param_labels(params, 2)
+    assert labels2["unet"]["conv_in"]["kernel"] == "train"
+    assert labels2["denoise_encoder"]["d"] == "vis"
+
+
+def test_stage1_freezes_core_and_trains_adapters():
+    state, step, batch = _setup(stage=1)
+    jstep = jax.jit(step)
+    new_state, metrics = jstep(state, batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    core_before = state.params["unet"]["conv_in"]["kernel"]
+    core_after = new_state.params["unet"]["conv_in"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(core_before), np.asarray(core_after))
+    de_before = jax.tree.leaves(state.params["denoise_encoder"])[0]
+    de_after = jax.tree.leaves(new_state.params["denoise_encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(de_before), np.asarray(de_after))
+
+    # adapters must move (condition_embedding conv_in has nonzero grads)
+    ad_before = state.params["unet"]["condition_embedding"]["conv_in"]["kernel"]
+    ad_after = new_state.params["unet"]["condition_embedding"]["conv_in"]["kernel"]
+    assert np.abs(np.asarray(ad_after) - np.asarray(ad_before)).max() > 0
+
+
+def test_stage2_trains_everything_and_loss_decreases():
+    state, step, batch = _setup(stage=2)
+    jstep = jax.jit(step)
+    b = batch()
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for i in range(8):
+        # fixed data, fixed noise key -> optimisation should reduce loss
+        state, m = jstep(state, b, jax.random.PRNGKey(42))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    de_b = jax.tree.leaves(state.params["denoise_encoder"])[0]
+    assert np.isfinite(np.asarray(de_b)).all()
+
+
+def test_ema_schedule_and_interval():
+    d = ema_decay_for_step(jnp.asarray(0))
+    assert float(d) == 0.0
+    d_late = ema_decay_for_step(jnp.asarray(100000))
+    assert 0.999 <= float(d_late) <= 0.9999
+
+    params = {"w": jnp.ones((4,))}
+    ema = ema_init(params)
+    # non-interval step -> no change
+    ema2 = ema_update(ema, {"w": jnp.zeros((4,))}, jnp.asarray(1), interval=100)
+    np.testing.assert_array_equal(np.asarray(ema2.params["w"]), 1.0)
+    assert int(ema2.step) == 0
+    # interval step -> shadow moves toward new params
+    ema3 = ema_update(ema, {"w": jnp.zeros((4,))}, jnp.asarray(100), interval=100)
+    assert int(ema3.step) == 1
+    assert float(ema3.params["w"][0]) < 1.0
+
+    out = ema_copy_to(ema3, {"w": jnp.ones((4,), jnp.bfloat16)})
+    assert out["w"].dtype == jnp.bfloat16
+
+
+def test_train_step_data_parallel_mesh():
+    """pjit the train step over the 8-device CPU mesh: batch sharded,
+    params replicated; must run and produce finite loss."""
+    assert len(jax.devices()) == 8
+    state, step, batch = _setup(stage=2)
+    mesh = make_mesh(8)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    b = batch(b=8)
+    b_sharded = jax.tree.map(lambda x: jax.device_put(x, bs), b)
+    state_sharded = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    jstep = jax.jit(step)
+    new_state, metrics = jstep(state_sharded, b_sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # gradient must equal the single-device result (psum correctness)
+    new_state_ref, metrics_ref = jax.jit(step)(state, b, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-5)
+
+
+def test_zero_style_optimizer_sharding():
+    """Adam moments shard over the data axis where divisible."""
+    mesh = make_mesh(8)
+    tree = {"a": jnp.zeros((16, 4)), "b": jnp.zeros((3,))}
+    specs = shard_leading_divisible(tree, mesh)
+    assert specs["a"].spec == P("data")
+    assert specs["b"].spec == P()
+    sharded = jax.tree.map(jax.device_put, tree, specs)
+    assert len(sharded["a"].sharding.device_set) == 8
