@@ -1,0 +1,119 @@
+"""Caption agent: the LLaVA-v1.5 pipeline glueing vision tower + projector +
+LLaMA decode into `caption(image) -> str`.
+
+Capability-equivalent to `LLavaAgent`
+(`/root/reference/llava/llm_agent.py:18-103`): vicuna_v1 conversation with
+an `<image>` slot, the fixed question "Describe this image and its style in
+a very detailed manner.", sampling at temperature 0.2 / top-p 0.7, max 512
+new tokens.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clip_vision import (CLIPVisionConfig, CLIPVisionTower, VisionProjector,
+                          preprocess_clip_image)
+from .llama import LlamaConfig, LlamaForCausalLM, greedy_generate
+
+DEFAULT_QUESTION = "Describe this image and its style in a very detailed manner."
+
+# vicuna_v1 template (`llava/conversation.py`, SeparatorStyle.TWO)
+VICUNA_SYSTEM = (
+    "A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's "
+    "questions."
+)
+
+
+def build_vicuna_prompt(question: str) -> List[str]:
+    """Return the text segments around the image slot:
+    [pre_image_text, post_image_text]."""
+    pre = f"{VICUNA_SYSTEM} USER: "
+    post = f"\n{question} ASSISTANT:"
+    return [pre, post]
+
+
+@dataclasses.dataclass
+class CaptionAgent:
+    """Glues tokenizer + vision tower + projector + LM."""
+
+    llama: LlamaForCausalLM
+    llama_params: Any
+    vision: CLIPVisionTower
+    vision_params: Any
+    projector: VisionProjector
+    projector_params: Any
+    tokenizer: Any                      # sentencepiece-style (HF LlamaTokenizer)
+    temperature: float = 0.2
+    top_p: float = 0.7
+    max_new_tokens: int = 512
+
+    @staticmethod
+    def from_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16) -> "CaptionAgent":
+        """Load converted params + tokenizer from a local directory
+        (layout: llama/ vision/ projector/ tokenizer/)."""
+        from transformers import AutoTokenizer
+
+        from ..training.checkpoint import load_params
+
+        llama_cfg = LlamaConfig.llava_13b()
+        llama = LlamaForCausalLM(llama_cfg, dtype=dtype)
+        vision = CLIPVisionTower(CLIPVisionConfig(), dtype=dtype)
+        projector = VisionProjector(llama_cfg.hidden_size, dtype=dtype)
+        return CaptionAgent(
+            llama=llama,
+            llama_params={"params": load_params(os.path.join(ckpt_dir, "llama"))},
+            vision=vision,
+            vision_params={"params": load_params(os.path.join(ckpt_dir, "vision"))},
+            projector=projector,
+            projector_params={"params": load_params(
+                os.path.join(ckpt_dir, "projector"))},
+            tokenizer=AutoTokenizer.from_pretrained(
+                os.path.join(ckpt_dir, "tokenizer")),
+        )
+
+    def _embed_ids(self, ids: np.ndarray) -> jax.Array:
+        return self.llama.apply(
+            self.llama_params, jnp.asarray(ids),
+            method=LlamaForCausalLM.embed)
+
+    def build_multimodal_embeds(
+        self, image: np.ndarray, question: str = DEFAULT_QUESTION
+    ) -> jax.Array:
+        """Tokenise around the image slot and splice projected image patches
+        (`llava/model/llava_arch.py:145-324` splice semantics, batch 1)."""
+        pre, post = build_vicuna_prompt(question)
+        pre_ids = np.asarray(
+            self.tokenizer(pre, return_tensors="np").input_ids, np.int32)
+        post_ids = np.asarray(
+            self.tokenizer(post, add_special_tokens=False,
+                           return_tensors="np").input_ids, np.int32)
+
+        pixel = preprocess_clip_image(image, self.vision.config.image_size)
+        feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
+        img_embeds = self.projector.apply(self.projector_params, feats)
+
+        pre_e = self._embed_ids(pre_ids)
+        post_e = self._embed_ids(post_ids)
+        return jnp.concatenate(
+            [pre_e, img_embeds.astype(pre_e.dtype), post_e], axis=1)
+
+    def caption(self, image: np.ndarray,
+                question: str = DEFAULT_QUESTION, seed: int = 0) -> str:
+        embeds = self.build_multimodal_embeds(image, question)
+        result = greedy_generate(
+            self.llama, self.llama_params, embeds,
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=int(self.tokenizer.eos_token_id or 2),
+            temperature=self.temperature, top_p=self.top_p,
+            key=jax.random.PRNGKey(seed),
+        )
+        ids = np.asarray(result.tokens[0][: int(result.lengths[0])])
+        text = self.tokenizer.decode(ids, skip_special_tokens=True)
+        return text.strip()

@@ -1,0 +1,201 @@
+"""Command-line entry points.
+
+Mirrors the reference scripts (SURVEY.md §2.3):
+- `restore`  ~ `/root/reference/test_wo_llava.py` (captions from JSON) and
+  `test.py` when a captioner checkpoint is available
+- `caption`  ~ `test_generate_caption.py`
+- `train`    ~ `train_SDXL_stage_1.py` / `train_SDXL_stage_2.py`
+- `metrics`  ~ `test_metrics.py`
+
+Usage: python -m faithdiff_tpu.cli <command> [flags]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _add_restore_args(p: argparse.ArgumentParser):
+    """Flags mirror `/root/reference/test.py:29-49`."""
+    p.add_argument("--img_dir", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--json_dir", default=None,
+                   help="caption JSONs per image (test_wo_llava path)")
+    p.add_argument("--upscale", type=int, default=2)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    p.add_argument("--guidance_scale", type=float, default=5.0)
+    p.add_argument("--latent_tiled_size", type=int, default=1024,
+                   help="pixel-space tile edge (latent = /8)")
+    p.add_argument("--latent_tiled_overlap", type=float, default=0.5)
+    p.add_argument("--color_fix", choices=["wavelet", "adain", "nofix"],
+                   default="wavelet")
+    p.add_argument("--start_point", choices=["lr", "noise"], default="lr")
+    p.add_argument("--use_tile_vae", action="store_true")
+    p.add_argument("--hdr", type=float, default=0.0)
+    p.add_argument("--checkpoint_dir", required=True,
+                   help="dir with converted params (unet/ vae/ denoise_encoder/ text_encoder*/)")
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--tile_devices", type=int, default=1)
+
+
+def load_checkpointed_pipeline(args):
+    """Build the pipeline from converted checkpoints on disk."""
+    import jax.numpy as jnp
+
+    from .config import PipelineConfig
+    from .pipelines.factory import build_pipeline
+    from .training.checkpoint import load_params
+
+    def maybe(path):
+        full = os.path.join(args.checkpoint_dir, path)
+        return load_params(full) if os.path.exists(full) else None
+
+    pipeline_config = PipelineConfig(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        tile_size=args.latent_tiled_size,
+        tile_overlap=args.latent_tiled_overlap,
+        start_point=args.start_point,
+        color_fix=args.color_fix,
+        use_tiled_vae=args.use_tile_vae,
+    )
+    return build_pipeline(
+        pipeline_config=pipeline_config,
+        unet_params=maybe("unet"),
+        vae_params=maybe("vae"),
+        denoise_encoder_params=maybe("denoise_encoder"),
+        dtype=jnp.bfloat16,
+        tile_devices=args.tile_devices,
+    )
+
+
+def _encode_caption(args, caption: str):
+    """Caption -> (prompt_embeds, pooled) via the text towers, or zeros when
+    no text-encoder checkpoint is present (unconditional restore)."""
+    import jax.numpy as jnp
+
+    te_dir = os.path.join(args.checkpoint_dir, "text_encoders")
+    if args.tokenizer_dir and os.path.exists(te_dir):
+        from .models.clip_text import SDXLTextEncoder
+        from .models.tokenizer import SDXLTokenizer
+        from .training.checkpoint import load_params
+
+        tok = SDXLTokenizer(
+            os.path.join(args.tokenizer_dir, "tokenizer"),
+            os.path.join(args.tokenizer_dir, "tokenizer_2"))
+        ids_1, ids_2 = tok(caption)
+        enc = SDXLTextEncoder(dtype=jnp.bfloat16)
+        params = load_params(te_dir)
+        pe, pooled = enc.apply({"params": params}, jnp.asarray(ids_1),
+                               jnp.asarray(ids_2))
+        return pe.astype(jnp.float32), pooled.astype(jnp.float32)
+    return (jnp.zeros((1, 77, 2048), jnp.float32),
+            jnp.zeros((1, 1280), jnp.float32))
+
+
+def cmd_restore(argv):
+    from PIL import Image
+
+    from .data.dataset import trim_caption
+    from .utils.image import check_image_size, create_hdr_effect, resize_lanczos
+
+    p = argparse.ArgumentParser("restore")
+    _add_restore_args(p)
+    args = p.parse_args(argv)
+
+    pipe = load_checkpointed_pipeline(args)
+    os.makedirs(args.save_dir, exist_ok=True)
+    images = sorted(sum([glob.glob(os.path.join(args.img_dir, e))
+                         for e in ("*.png", "*.jpg", "*.jpeg")], []))
+    for path in images:
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.save_dir, f"{name}.png")
+        if os.path.exists(out_path):  # skip-if-exists resume (`test.py:84-93`)
+            print(f"skip {name}")
+            continue
+        img = np.asarray(Image.open(path).convert("RGB"))
+
+        caption = ""
+        if args.json_dir:
+            jpath = os.path.join(args.json_dir, f"{name}.json")
+            if os.path.exists(jpath):
+                with open(jpath) as f:
+                    caption = trim_caption(json.load(f)["caption"])
+
+        if args.hdr > 0:
+            img = create_hdr_effect(img, args.hdr)
+        # LANCZOS x upscale then /8 pad (`test.py:122-126`)
+        h, w = img.shape[:2]
+        img = resize_lanczos(img, (w * args.upscale, h * args.upscale))
+        padded, w0, h0, w1, h1 = check_image_size(img)
+        lr = padded.astype(np.float32) / 255.0
+
+        pe, pooled = _encode_caption(args, caption)
+        out = pipe(lr, pe, pooled, seed=args.seed)
+        out = out[:h0 * 1, :w0 * 1]  # crop padding back off
+        Image.fromarray(np.uint8(np.clip(out, 0, 1) * 255)).save(out_path)
+        print(f"restored {name} -> {out_path}")
+
+
+def cmd_caption(argv):
+    p = argparse.ArgumentParser("caption")
+    p.add_argument("--img_dir", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--captioner_dir", required=True)
+    p.add_argument("--use_bsrnet", action="store_true")
+    args = p.parse_args(argv)
+    from .captioner.agent import CaptionAgent
+
+    agent = CaptionAgent.from_checkpoint(args.captioner_dir)
+    os.makedirs(args.save_dir, exist_ok=True)
+    from PIL import Image
+
+    for path in sorted(glob.glob(os.path.join(args.img_dir, "*"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.save_dir, f"{name}.json")
+        if os.path.exists(out_path):
+            continue
+        img = np.asarray(Image.open(path).convert("RGB"))
+        caption = agent.caption(img)
+        with open(out_path, "w") as f:
+            json.dump({"caption": caption}, f)
+        print(f"{name}: {caption[:80]}")
+
+
+def cmd_train(argv):
+    from .training.runner import main as train_main
+
+    train_main(argv)
+
+
+def cmd_metrics(argv):
+    from .eval.metrics import main as metrics_main
+
+    metrics_main(argv)
+
+
+COMMANDS = {
+    "restore": cmd_restore,
+    "caption": cmd_caption,
+    "train": cmd_train,
+    "metrics": cmd_metrics,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: python -m faithdiff_tpu.cli {{{'|'.join(COMMANDS)}}} ...")
+        return 1
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -34,6 +34,7 @@ def build_pipeline(
     init_rng: Optional[jax.Array] = None,
     init_image_size: int = 64,
     tile_sharding=None,
+    tile_devices: int = 1,
 ) -> FaithDiffPipeline:
     """Build the pipeline; any params left None are randomly initialised
     (tiny shapes) — useful for dry runs and benchmarks without checkpoints."""
@@ -97,6 +98,7 @@ def build_pipeline(
         config=pipeline_config,
         vae_scaling_factor=scaling,
         tile_sharding=tile_sharding,
+        tile_devices=tile_devices,
     )
 
 

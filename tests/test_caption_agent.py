@@ -1,0 +1,65 @@
+"""End-to-end caption agent test with tiny random models and a stub
+tokenizer (no pretrained files needed)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faithdiff_tpu.captioner.agent import CaptionAgent, build_vicuna_prompt
+from faithdiff_tpu.captioner.clip_vision import (CLIPVisionTower,
+                                                 VisionProjector,
+                                                 tiny_vision_config)
+from faithdiff_tpu.captioner.llama import LlamaConfig, LlamaForCausalLM
+
+
+class StubTokenizer:
+    eos_token_id = 2
+
+    def __call__(self, text, add_special_tokens=True, return_tensors="np"):
+        ids = np.asarray([[1] + [(ord(c) % 200) + 10 for c in text[:16]]],
+                         np.int32)
+        if not add_special_tokens:
+            ids = ids[:, 1:]
+
+        class Enc:
+            input_ids = ids
+
+        return Enc()
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(int(i)) for i in ids if int(i) > 2)
+
+
+def test_caption_agent_end_to_end_tiny():
+    vcfg = tiny_vision_config()
+    lcfg = LlamaConfig.tiny()
+    vision = CLIPVisionTower(vcfg)
+    projector = VisionProjector(lcfg.hidden_size)
+    llama = LlamaForCausalLM(lcfg)
+
+    pix = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    vp = vision.init(jax.random.PRNGKey(0), pix)
+    feats = vision.apply(vp, pix)
+    pp = projector.init(jax.random.PRNGKey(1), feats)
+    lp = llama.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
+                    jnp.zeros((1, 4), jnp.int32),
+                    method=LlamaForCausalLM.init_forward)
+
+    agent = CaptionAgent(
+        llama=llama, llama_params=lp,
+        vision=vision, vision_params=vp,
+        projector=projector, projector_params=pp,
+        tokenizer=StubTokenizer(),
+        max_new_tokens=8, temperature=0.0,
+    )
+    img = np.random.default_rng(0).integers(0, 255, (40, 64, 3), np.uint8)
+    caption = agent.caption(img)
+    assert isinstance(caption, str)
+    # deterministic greedy decode
+    assert caption == agent.caption(img)
+
+
+def test_vicuna_prompt_structure():
+    pre, post = build_vicuna_prompt("What is this?")
+    assert pre.endswith("USER: ")
+    assert post.endswith("ASSISTANT:")
+    assert "What is this?" in post

@@ -1,0 +1,119 @@
+"""Serving stack tests: registry, heartbeats/expiry, dispatch, streaming
+end-to-end through real HTTP sockets, worker failover."""
+import json
+import time
+import urllib.request
+
+import pytest
+
+from faithdiff_tpu.serving import controller as ctl
+from faithdiff_tpu.serving import worker as wk
+
+
+def _post(addr, path, payload):
+    req = urllib.request.Request(
+        addr + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.read()
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture
+def stack():
+    cport = _free_port()
+    controller = ctl.Controller(dispatch_method="shortest_queue")
+    cserver = ctl.serve(controller, port=cport)
+    caddr = f"http://127.0.0.1:{cport}"
+
+    wport = _free_port()
+    waddr = f"http://127.0.0.1:{wport}"
+
+    def generate(params):
+        for word in ["a", "tiny", "caption"]:
+            yield word
+
+    worker = wk.ModelWorker(caddr, waddr, ["faithdiff-captioner"], generate)
+    wserver = wk.serve(worker, port=wport)
+    yield controller, caddr, worker, waddr
+    worker.stop()
+    controller.stop()
+    cserver.shutdown()
+    wserver.shutdown()
+
+
+def test_register_and_list_models(stack):
+    controller, caddr, worker, waddr = stack
+    out = json.loads(_post(caddr, "/list_models", {}))
+    assert out["models"] == ["faithdiff-captioner"]
+
+
+def test_dispatch_and_stream_end_to_end(stack):
+    controller, caddr, worker, waddr = stack
+    out = json.loads(_post(caddr, "/get_worker_address",
+                           {"model": "faithdiff-captioner"}))
+    assert out["address"] == waddr
+
+    raw = _post(caddr, "/worker_generate_stream",
+                {"model": "faithdiff-captioner"})
+    chunks = [json.loads(c) for c in raw.split(b"\0") if c.strip()]
+    assert [c["text"] for c in chunks] == ["a", "tiny", "caption"]
+    assert all(c["error_code"] == 0 for c in chunks)
+
+
+def test_heartbeat_updates_and_expiry(stack):
+    controller, caddr, worker, waddr = stack
+    assert controller.receive_heart_beat(waddr, 3)
+    assert controller.workers[waddr].queue_length == 3
+    # force expiry
+    controller.workers[waddr].last_heart_beat = time.time() - 999
+    dead = controller.remove_stale_workers()
+    assert waddr in dead
+    assert waddr not in controller.workers
+
+
+def test_failover_to_next_worker(stack):
+    controller, caddr, worker, waddr = stack
+    # register a dead worker with shorter queue -> dispatcher picks it first,
+    # then fails over to the live one
+    dead_addr = "http://127.0.0.1:1"  # nothing listening
+    controller.register_worker(dead_addr, True, {
+        "model_names": ["faithdiff-captioner"], "speed": 1.0,
+        "queue_length": 0})
+    controller.workers[waddr].queue_length = 10
+
+    raw = _post(caddr, "/worker_generate_stream",
+                {"model": "faithdiff-captioner"})
+    chunks = [json.loads(c) for c in raw.split(b"\0") if c.strip()]
+    assert [c["text"] for c in chunks] == ["a", "tiny", "caption"]
+    # the dead worker was removed on failure
+    assert dead_addr not in controller.workers
+
+
+def test_lottery_dispatch_weighted():
+    controller = ctl.Controller(dispatch_method="lottery")
+    controller.register_worker("w_fast", False, {
+        "model_names": ["m"], "speed": 100.0, "queue_length": 0})
+    controller.register_worker("w_slow", False, {
+        "model_names": ["m"], "speed": 1.0, "queue_length": 0})
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    picks = [controller.get_worker_address("m", rng) for _ in range(50)]
+    assert picks.count("w_fast") > 40
+    controller.stop()
+
+
+def test_no_worker_for_unknown_model(stack):
+    controller, caddr, worker, waddr = stack
+    out = json.loads(_post(caddr, "/get_worker_address", {"model": "nope"}))
+    assert out["address"] == ""
