@@ -1,0 +1,61 @@
+"""End-to-end restoration benchmark on one TPU chip (full SDXL config,
+random weights — measures compute, not quality).
+
+Scenarios:
+  1024: 512x512 LR x2 -> 1024^2 output, single 128^2-latent tile, 20 steps
+  2048: 1024x1024 LR x2 -> 2048^2 output, 9 tiles, 20 steps
+
+Prints one JSON line per scenario. Not the driver bench (see bench.py).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(scenarios=("1024",)):
+    from faithdiff_tpu.config import PipelineConfig
+    from faithdiff_tpu.pipelines.factory import build_pipeline
+    from faithdiff_tpu.utils.profiling import device_sync
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    pipe = build_pipeline(
+        pipeline_config=PipelineConfig(num_inference_steps=20),
+        dtype=dtype,
+        tile_chunk=4,
+    )
+    pe = jnp.zeros((1, 77, 2048), jnp.float32)
+    pooled = jnp.zeros((1, 1280), jnp.float32)
+
+    for scen in scenarios:
+        size = int(scen)
+        rng = np.random.default_rng(0)
+        img = rng.random((size, size, 3)).astype(np.float32)
+
+        t0 = time.perf_counter()
+        out = pipe(img, pe, pooled, seed=0)
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = pipe(img, pe, pooled, seed=1)
+        run_s = time.perf_counter() - t0
+
+        print(json.dumps({
+            "metric": f"e2e_restore_{size}_20steps",
+            "value": round(run_s, 2),
+            "unit": "s",
+            "images_per_min": round(60.0 / run_s, 2),
+            "compile_s": round(compile_s, 1),
+            "finite": bool(np.isfinite(out).all()),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ("1024",))

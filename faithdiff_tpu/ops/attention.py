@@ -41,48 +41,64 @@ def _xla_attention(q, k, v, scale: float, causal: bool = False):
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, causal):
-    """One (batch*head, q_block) program: online-softmax over k blocks."""
-    q = q_ref[0].astype(jnp.float32) * scale          # [block_q, d]
-    block_q = q.shape[0]
-    kv_len = k_ref.shape[1]
-    num_kb = kv_len // block_k
-    q_block_idx = pl.program_id(1)
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale, causal):
+    """Grid (batch*head, q_blocks, kv_blocks): KV streams block-by-block from
+    HBM (never fully resident in VMEM), online softmax accumulates in
+    scratch across the kv grid dimension, output written on the last block.
+    """
+    q_idx = pl.program_id(1)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]
+    d = q_ref.shape[-1]
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32) * scale       # [block_q, d]
+        k = k_ref[0].astype(jnp.float32)               # [block_k, d]
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [block_q, block_k]
         if causal:
-            q_idx = q_block_idx * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            k_idx = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            s = jnp.where(q_idx >= k_idx, s, DEFAULT_MASK_VALUE)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)     # [block_q, 1]
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, DEFAULT_MASK_VALUE)
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[...] = m_new
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc * alpha + pv
-        return acc, m_new, l_new
+        acc_ref[...] = acc_ref[...] * alpha + pv
 
-    d = q_ref.shape[-1]
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if causal:
+        # skip fully-masked kv blocks (above the diagonal)
+        @pl.when(kb * block_k <= q_idx * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kb == num_kb - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
 def _pick_block(seq: int, target: int) -> int:
@@ -108,21 +124,24 @@ def _flash_attention_fwd_impl(
     kr = k.reshape(bh, kv_len, d)
     vr = v.reshape(bh, kv_len, d)
 
-    grid = (bh, q_len // bq)
+    grid = (bh, q_len // bq, kv_len // bk)
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, block_k=bk, causal=causal
-        ),
+        functools.partial(_flash_kernel, scale=scale, causal=causal),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),    # acc
+            pltpu.VMEM((bq, 1), jnp.float32),    # running max
+            pltpu.VMEM((bq, 1), jnp.float32),    # running denom
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * q_len * kv_len * d,

@@ -35,6 +35,7 @@ def build_pipeline(
     init_image_size: int = 64,
     tile_sharding=None,
     tile_devices: int = 1,
+    tile_chunk=None,
 ) -> FaithDiffPipeline:
     """Build the pipeline; any params left None are randomly initialised
     (tiny shapes) — useful for dry runs and benchmarks without checkpoints."""
@@ -99,6 +100,7 @@ def build_pipeline(
         vae_scaling_factor=scaling,
         tile_sharding=tile_sharding,
         tile_devices=tile_devices,
+        tile_chunk=tile_chunk,
     )
 
 

@@ -80,6 +80,9 @@ class FaithDiffPipeline:
     # multiple of `tile_devices` (padded tiles are masked out of the merge)
     tile_sharding: Optional[jax.sharding.NamedSharding] = None
     tile_devices: int = 1
+    # cap on tiles per UNet call (memory bound for 8K-class inputs); must be
+    # a multiple of tile_devices when both are set
+    tile_chunk: Optional[int] = None
 
     # ------------------------------------------------------------------
     # jitted core
@@ -90,7 +93,8 @@ class FaithDiffPipeline:
         self._jit_denoise = jax.jit(
             self._denoise_loop,
             static_argnames=("layout", "num_steps", "guidance_scale",
-                            "guidance_rescale", "add_sample", "pad_tiles"),
+                            "guidance_rescale", "add_sample", "pad_tiles",
+                            "tile_chunk"),
         )
 
     def _denoise_loop(
@@ -107,6 +111,7 @@ class FaithDiffPipeline:
         guidance_rescale: float,
         add_sample: bool,
         pad_tiles: int,
+        tile_chunk: Optional[int] = None,
     ) -> jax.Array:
         sched = self.scheduler
         state = sched.set_timesteps(num_steps)
@@ -127,15 +132,38 @@ class FaithDiffPipeline:
                 return tiles
             return jnp.concatenate([tiles, tiles[pad_idx]], axis=0)
 
+        chunk = t_pad if tile_chunk is None else min(tile_chunk, t_pad)
+
+        def run_unet(model_in, t, ctx, pooled, time_ids, img):
+            return self.unet_apply(
+                unet_params, model_in, t, ctx, pooled, time_ids, img,
+                add_sample, 2)
+
         def step_fn(latents, i):
             tiles = pad(split_tiles(latents, layout))          # [Tp, k, k, 4]
             model_in = jnp.repeat(tiles, 2, axis=0)            # CFG pairs
             model_in = sched.scale_model_input(state, model_in, i)
             t = state.timesteps[i]
-            eps = self.unet_apply(
-                unet_params, model_in, t, ctx, pooled, time_ids, img_tiles2,
-                add_sample, 2,
-            )
+            if chunk < t_pad:
+                # bound UNet working-set: lax.map over tile chunks — the
+                # 8K-class path where hundreds of tiles cannot run as one
+                # batch (the reference runs them one-by-one, `:1330`)
+                n_chunks = t_pad // chunk
+
+                def per_chunk(args):
+                    m, cx, pl, ti, im = args
+                    return run_unet(m, t, cx, pl, ti, im)
+
+                def r(x):
+                    return x.reshape(n_chunks, 2 * chunk, *x.shape[1:])
+
+                eps = jax.lax.map(
+                    per_chunk,
+                    (r(model_in), r(ctx), r(pooled), r(time_ids),
+                     r(img_tiles2)))
+                eps = eps.reshape(2 * t_pad, *eps.shape[2:])
+            else:
+                eps = run_unet(model_in, t, ctx, pooled, time_ids, img_tiles2)
             eps = eps.reshape(t_pad, 2, *eps.shape[1:])
             eps_uncond, eps_text = eps[:, 0], eps[:, 1]
             eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -241,8 +269,15 @@ class FaithDiffPipeline:
         )
 
         # pad the tile batch to a multiple of the tile-parallel device count
-        # (padded tiles are compute-only; the merge ignores them)
-        pad_tiles = (-layout.num_tiles) % max(self.tile_devices, 1)
+        # and the chunk size (padded tiles are compute-only; merge ignores
+        # them)
+        pad_base = max(self.tile_devices, 1)
+        if self.tile_chunk:
+            assert self.tile_chunk % pad_base == 0, (
+                "tile_chunk must be a multiple of tile_devices")
+            if layout.num_tiles > self.tile_chunk:
+                pad_base = self.tile_chunk
+        pad_tiles = (-layout.num_tiles) % pad_base
         if pad_tiles:
             idx = np.arange(pad_tiles) % layout.num_tiles
             image_latent_tiles = jnp.concatenate(
@@ -257,7 +292,7 @@ class FaithDiffPipeline:
             self.unet_params, latents, image_latent_tiles, embeds, pooled,
             jnp.asarray(base_time_ids), layout, num_inference_steps,
             float(guidance_scale), float(guidance_rescale), bool(add_sample),
-            pad_tiles,
+            pad_tiles, self.tile_chunk,
         )
 
         if output_type == "latent":

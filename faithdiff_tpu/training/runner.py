@@ -50,11 +50,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoints_total_limit", type=int, default=5)
     p.add_argument("--validation_steps", type=int, default=500)
     p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--val_dir", default=None,
+                   help="dir of LQ validation images (RealPhoto60-style)")
+    p.add_argument("--val_num_images", type=int, default=4)
     p.add_argument("--pretrained_params_dir", default=None,
                    help="converted SDXL/stage-1 params to start from")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic_data", action="store_true",
                    help="random data (smoke runs without a dataset)")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
     p.add_argument("--log_every", type=int, default=10)
     return p.parse_args(argv)
 
@@ -129,9 +134,10 @@ def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
         seed=args.seed,
     )
 
-    unet = UNet2DConditionModel(config=ucfg, dtype=jnp.bfloat16)
-    de = DenoiseEncoder(config=dcfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(config=vcfg, dtype=jnp.bfloat16)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    unet = UNet2DConditionModel(config=ucfg, dtype=dtype)
+    de = DenoiseEncoder(config=dcfg, dtype=dtype)
+    vae = AutoencoderKL(config=vcfg, dtype=dtype)
 
     pooled_dim = ucfg.projection_class_embeddings_input_dim - \
         ucfg.addition_time_embed_dim * 6
@@ -196,6 +202,9 @@ def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
     else:
         batches = _dataset_batches(args, ucfg.cross_attention_dim, pooled_dim)
 
+    from .logging import MetricLogger
+
+    logger = MetricLogger(os.path.join(args.output_dir, "logs"))
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     for step_idx in range(start_step, args.max_train_steps):
@@ -208,10 +217,71 @@ def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
             loss = float(metrics["loss"])
             rate = args.log_every / (time.time() - t0)
             t0 = time.time()
+            logger.log(step_idx + 1, {"train_loss": loss,
+                                      "grad_norm": float(metrics["grad_norm"]),
+                                      "it_per_s": rate})
             print(f"step {step_idx + 1} loss {loss:.4f} "
                   f"({rate:.2f} it/s)", flush=True)
+        if args.val_dir and (step_idx + 1) % args.validation_steps == 0:
+            _run_validation(args, ucfg, vcfg, dcfg, state, vae_params,
+                            step_idx + 1)
         ckpt.save(step_idx + 1, state)
     ckpt.save(args.max_train_steps, state, force=True)
     ckpt.wait()
+    logger.close()
     print("training done")
     return state
+
+
+def _run_validation(args, ucfg, vcfg, dcfg, state, vae_params, step):
+    """Restore a few validation images with current EMA params and save a
+    strip image (mirrors `train_SDXL_stage_1.py:127-195`; stage-2 MUSIQ
+    scoring plugs in via eval.metrics when pyiqa weights are present)."""
+    import glob as _glob
+
+    from PIL import Image
+
+    from ..pipelines.factory import build_pipeline
+    from ..config import PipelineConfig
+    from .ema import ema_copy_to
+
+    ema_params = ema_copy_to(state.ema, state.params)
+    pipe = build_pipeline(
+        unet_config=ucfg, vae_config=vcfg, denoise_encoder_config=dcfg,
+        pipeline_config=PipelineConfig(num_inference_steps=20,
+                                       tile_size=args.resolution),
+        unet_params={"params": ema_params["unet"]},
+        vae_params=vae_params,
+        denoise_encoder_params={"params": ema_params["denoise_encoder"]},
+        dtype=jnp.bfloat16,
+    )
+    paths = sorted(_glob.glob(os.path.join(args.val_dir, "*")))[
+        : args.val_num_images]
+    outs = []
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - \
+        ucfg.addition_time_embed_dim * 6
+    pe = jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.float32)
+    pooled = jnp.zeros((1, pooled_dim), jnp.float32)
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB").resize(
+            (args.resolution, args.resolution)), np.float32) / 255.0
+        out = pipe(img, pe, pooled, seed=42)
+        outs.append(np.uint8(np.clip(out, 0, 1) * 255))
+    if outs:
+        strip = np.concatenate(outs, axis=1)
+        out_dir = os.path.join(args.output_dir, "validation")
+        os.makedirs(out_dir, exist_ok=True)
+        Image.fromarray(strip).save(
+            os.path.join(out_dir, f"step_{step}.png"))
+        # MUSIQ quality signal when available (stage 2 protocol)
+        try:
+            from ..eval.metrics import make_learned_metrics
+
+            m = make_learned_metrics(("musiq",))
+            if "musiq" in m:
+                scores = [m["musiq"](o.astype(np.float32) / 255.0)
+                          for o in outs]
+                print(f"validation MUSIQ @ step {step}: "
+                      f"{np.mean(scores):.3f}")
+        except Exception:
+            pass

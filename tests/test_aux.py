@@ -110,3 +110,43 @@ def test_bsrnet_shapes_and_tiled_equivalence():
     assert tiled2.shape == full.shape
     assert np.isfinite(np.asarray(tiled2)).all()
     assert float(jnp.abs(tiled2 - full).mean()) < 0.05
+
+
+def test_vqa_harness_with_stub_agent(tmp_path):
+    from faithdiff_tpu.eval.vqa import get_chunk, run_vqa, summarize_answers
+    from PIL import Image
+
+    assert get_chunk(list(range(10)), 3, 0) == [0, 1, 2, 3]
+    assert get_chunk(list(range(10)), 3, 2) == [8, 9]
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    qf = tmp_path / "questions.jsonl"
+    with open(qf, "w") as f:
+        for i in range(3):
+            Image.fromarray(
+                np.zeros((8, 8, 3), np.uint8)).save(img_dir / f"{i}.png")
+            f.write(json.dumps({"question_id": i, "image": f"{i}.png",
+                                "text": f"q{i}?"}) + "\n")
+
+    class StubAgent:
+        def caption(self, img, question=""):
+            return f"answer to {question}"
+
+    af = tmp_path / "answers.jsonl"
+    n = run_vqa(StubAgent(), str(qf), str(img_dir), str(af))
+    assert n == 3
+    s = summarize_answers(str(af))
+    assert s["num_answers"] == 3 and s["empty"] == 0
+
+
+def test_metric_logger(tmp_path):
+    from faithdiff_tpu.training.logging import MetricLogger, read_metrics
+
+    lg = MetricLogger(str(tmp_path), use_tensorboard=False)
+    lg.log(1, {"loss": 0.5})
+    lg.log(2, {"loss": 0.25, "lr": 1e-4})
+    lg.close()
+    rows = read_metrics(str(tmp_path))
+    assert len(rows) == 2
+    assert rows[1]["loss"] == 0.25 and rows[1]["step"] == 2

@@ -82,3 +82,26 @@ def test_pipeline_rejects_unpadded_input(pipe):
     img = np.zeros((63, 64, 3), np.float32)
     with pytest.raises(ValueError, match="/8-padded"):
         pipe(img, pe, pooled)
+
+
+def test_pipeline_tile_chunking_matches_unchunked():
+    """Chunked UNet calls (memory-bound 8K path) must produce identical
+    latents to the single-batch path."""
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(7).random((96, 96, 3)).astype(np.float32)
+
+    pipe_full = build_tiny_pipeline()
+    pipe_chunked = build_tiny_pipeline(tile_chunk=2)
+    # share params so outputs are comparable
+    pipe_chunked.unet_params = pipe_full.unet_params
+    pipe_chunked.vae_params = pipe_full.vae_params
+    pipe_chunked.denoise_encoder_params = pipe_full.denoise_encoder_params
+
+    a = pipe_full(img, pe, pooled, num_inference_steps=2, seed=1,
+                  output_type="latent")
+    b = pipe_chunked(img, pe, pooled, num_inference_steps=2, seed=1,
+                     output_type="latent")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
