@@ -41,64 +41,83 @@ def _xla_attention(q, k, v, scale: float, causal: bool = False):
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale, causal):
-    """Grid (batch*head, q_blocks, kv_blocks): KV streams block-by-block from
-    HBM (never fully resident in VMEM), online softmax accumulates in
-    scratch across the kv grid dimension, output written on the last block.
-    """
-    q_idx = pl.program_id(1)
-    kb = pl.program_id(2)
-    num_kb = pl.num_programs(2)
-    block_q = q_ref.shape[1]
-    block_k = k_ref.shape[1]
-    d = q_ref.shape[-1]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, causal):
+    """One (batch*head, q_block) program: online-softmax over k blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale          # [block_q, d]
+    block_q = q.shape[0]
+    kv_len = k_ref.shape[1]
+    num_kb = kv_len // block_k
+    q_block_idx = pl.program_id(1)
 
-    @pl.when(kb == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
-        l_ref[...] = jnp.zeros_like(l_ref)
-
-    def compute():
-        q = q_ref[0].astype(jnp.float32) * scale       # [block_q, d]
-        k = k_ref[0].astype(jnp.float32)               # [block_k, d]
-        v = v_ref[0].astype(jnp.float32)
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [block_q, block_k]
         if causal:
-            rows = q_idx * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            cols = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(rows >= cols, s, DEFAULT_MASK_VALUE)
-        m_prev = m_ref[...]
-        l_prev = l_ref[...]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
+            q_idx = q_block_idx * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(q_idx >= k_idx, s, DEFAULT_MASK_VALUE)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)     # [block_q, 1]
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[...] = m_new
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[...] = acc_ref[...] * alpha + pv
+        acc = acc * alpha + pv
+        return acc, m_new, l_new
 
-    if causal:
-        # skip fully-masked kv blocks (above the diagonal)
-        @pl.when(kb * block_k <= q_idx * block_q + block_q - 1)
-        def _():
-            compute()
-    else:
-        compute()
+    d = q_ref.shape[-1]
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
-    @pl.when(kb == num_kb - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+def _chunked_xla_attention(q, k, v, scale: float, chunk: int = 1024):
+    """Memory-efficient attention in plain XLA: lax.scan over KV chunks with
+    a running online softmax. Used for long-KV shapes whose K/V do not fit
+    in VMEM for the Pallas kernel (e.g. the VAE's 16k x 512 single-head
+    spatial attention). Non-causal only."""
+    b, h, sq, d = q.shape
+    kv_len = k.shape[2]
+    while kv_len % chunk:
+        chunk //= 2
+    n_chunks = kv_len // chunk
+    q32 = q.astype(jnp.float32) * scale
+    kc = k.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    vc = v.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    def body(carry, kv):
+        acc, m_prev, l_prev = carry
+        kb, vb = kv
+        s = jnp.einsum("bhqd,bhkd->bhqk", q32, kb.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.einsum("bhqk,bhkd->bhqd", p, vb.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        return (acc * alpha + pv, m_new, l_new), None
+
+    acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
+    m0 = jnp.full((b, h, sq, 1), DEFAULT_MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((b, h, sq, 1), jnp.float32)
+    (acc, _, l), _ = jax.lax.scan(body, (acc0, m0, l0), (kc, vc))
+    return (acc / l).astype(q.dtype)
 
 
 def _pick_block(seq: int, target: int) -> int:
@@ -124,24 +143,21 @@ def _flash_attention_fwd_impl(
     kr = k.reshape(bh, kv_len, d)
     vr = v.reshape(bh, kv_len, d)
 
-    grid = (bh, q_len // bq, kv_len // bk)
+    grid = (bh, q_len // bq)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, causal=causal),
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=bk, causal=causal
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, q_len, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),    # acc
-            pltpu.VMEM((bq, 1), jnp.float32),    # running max
-            pltpu.VMEM((bq, 1), jnp.float32),    # running denom
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * q_len * kv_len * d,
@@ -186,6 +202,13 @@ def _on_tpu() -> bool:
 
 # Pallas pays off once the score matrix stops fitting comfortably in VMEM.
 _MIN_PALLAS_SEQ = 1024
+# the kernel keeps full K+V for one (batch, head) in VMEM: cap its footprint
+# (elements, pre-padding — the lane dim pads d=64 to 128, and k+v are double
+# buffered). 512k covers every SDXL UNet shape (max seq 4096 at d=64);
+# larger (VAE 16k x 512) goes to the chunked-XLA online-softmax path.
+_MAX_PALLAS_KV_ELEMS = 512 * 1024
+# score-matrix size above which the plain XLA path becomes memory-hostile
+_MAX_XLA_SCORE_ELEMS = 64 * 1024 * 1024
 
 
 def multi_head_attention(
@@ -207,6 +230,7 @@ def multi_head_attention(
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    kv_elems = k.shape[2] * k.shape[-1]
     if use_flash is None:
         use_flash = (
             _on_tpu()
@@ -215,9 +239,13 @@ def multi_head_attention(
             and q.shape[-1] % 64 == 0
             and k.shape[2] % 128 == 0
             and q.shape[2] % 128 == 0
+            and kv_elems <= _MAX_PALLAS_KV_ELEMS
         )
     if use_flash:
         return _flash_attention(q, k, v, scale, causal, block_q, block_k)
+    score_elems = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    if not causal and score_elems > _MAX_XLA_SCORE_ELEMS:
+        return _chunked_xla_attention(q, k, v, scale)
     return _xla_attention(q, k, v, scale, causal)
 
 

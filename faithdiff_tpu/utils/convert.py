@@ -126,13 +126,6 @@ _UNET_RENAMES = {
     r"^information_transformer_layes\.(\d+)\.mlp\.c_fc\.": r"information_transformer.layers.\1.mlp_c_fc.",
     r"^information_transformer_layes\.(\d+)\.mlp\.c_proj\.": r"information_transformer.layers.\1.mlp_c_proj.",
     r"^spatial_ch_projs\.": r"information_transformer.spatial_ch_projs.",
-    # VAE-attention legacy naming inside denoise_encoder mid blocks
-    r"\.attentions\.0\.to_out\.0\.": r".attentions.0.to_out_linear.",
-}
-
-_VAE_ATTN_FIX = {
-    # diffusers VAE attention to_out is a ModuleList -> handled generically,
-    # but group_norm keeps its name
 }
 
 
@@ -249,3 +242,79 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
         from safetensors.torch import load_file as tl
 
         return {k: _to_numpy(v) for k, v in tl(path).items()}
+
+
+# ---------------------------------------------------------------------------
+# inverse: flax params -> torch/diffusers state-dict keys (export path,
+# also used to validate conversion completeness without real checkpoints)
+# ---------------------------------------------------------------------------
+
+_INDEXED_SET = set(_INDEXED)
+
+
+def _flax_path_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
+    """Map a flax param path to (torch_key, transform) where transform in
+    {conv, linear, norm, raw} describes the tensor layout conversion."""
+    parts = []
+    for p in path[:-1]:
+        # down_blocks_0 -> down_blocks.0
+        for base in _INDEXED_SET:
+            if p.startswith(base + "_") and p[len(base) + 1:].isdigit():
+                parts.extend([base, p[len(base) + 1:]])
+                break
+        else:
+            parts.append(p)
+    leaf = path[-1]
+    # reverse the special renames of convert_unet
+    key = ".".join(parts)
+    key = key.replace("information_transformer.layers.",
+                      "information_transformer_layes.")
+    key = key.replace("information_transformer.spatial_ch_projs",
+                      "spatial_ch_projs")
+    key = re.sub(r"(information_transformer_layes\.\d+)\.ln_",
+                 r"\1.ln_", key)
+    key = re.sub(r"(information_transformer_layes\.\d+)\.in_proj$",
+                 r"\1.attn", key)
+    key = re.sub(r"(information_transformer_layes\.\d+)\.out_proj$",
+                 r"\1.attn.out_proj", key)
+    key = re.sub(r"(information_transformer_layes\.\d+)\.mlp_c_fc",
+                 r"\1.mlp.c_fc", key)
+    key = re.sub(r"(information_transformer_layes\.\d+)\.mlp_c_proj",
+                 r"\1.mlp.c_proj", key)
+    if key.endswith("to_out"):
+        key = key + ".0"
+
+    if leaf == "kernel":
+        if key.endswith(".attn"):  # packed qkv
+            return key + ".in_proj_weight", "linear"
+        return key + ".weight", "auto"
+    if leaf == "scale":
+        return key + ".weight", "norm"
+    if leaf == "bias":
+        if key.endswith(".attn"):
+            return key + ".in_proj_bias", "raw"
+        return key + ".bias", "raw"
+    raise KeyError(f"unhandled flax leaf {path}")
+
+
+def export_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
+    """Flatten a flax param tree to diffusers/torch naming + layouts
+    (inverse of `convert_unet`/`convert_vae`). Enables exporting trained
+    params back to the reference's FaithDiff.bin format."""
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        torch_key, transform = _flax_path_to_torch_key(keys)
+        arr = np.asarray(leaf)
+        if transform == "auto":
+            if arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            elif arr.ndim == 2:
+                arr = arr.T
+        elif transform == "linear":
+            arr = arr.T
+        out[torch_key] = arr
+    return out

@@ -96,3 +96,15 @@ def test_attention_grad_flows():
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_chunked_xla_attention_matches_reference():
+    from faithdiff_tpu.ops.attention import _chunked_xla_attention
+
+    q = _rand((1, 2, 64, 32), 20)
+    k = _rand((1, 2, 2048, 32), 21)
+    v = _rand((1, 2, 2048, 32), 22)
+    scale = 1.0 / np.sqrt(32)
+    ref = _xla_attention(q, k, v, scale)
+    out = _chunked_xla_attention(q, k, v, scale, chunk=512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

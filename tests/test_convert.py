@@ -226,3 +226,96 @@ def test_split_faithdiff_bin():
     assert set(core) == {"conv_in.weight"}
     assert set(extras["denoise_encoder"]) == {"conv_in.weight"}
     assert set(extras["spatial_ch_projs"]) == {"weight"}
+
+
+def test_unet_conversion_structural_roundtrip():
+    """Export the tiny UNet's init params to torch/diffusers naming, convert
+    back, and require the exact same tree (names, shapes, values). Guards
+    conversion completeness for every UNet module incl. FaithDiff extras."""
+    import jax
+    import jax.numpy as jnp
+
+    from faithdiff_tpu.config import tiny_unet_config
+    from faithdiff_tpu.models.unet import UNet2DConditionModel
+    from faithdiff_tpu.utils.convert import (convert_unet,
+                                             export_to_torch_state_dict)
+
+    cfg = tiny_unet_config()
+    model = UNet2DConditionModel(config=cfg)
+    b, hw = 1, 16
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, hw, hw, 4)), jnp.zeros((b,)),
+        jnp.zeros((b, 77, cfg.cross_attention_dim)), jnp.zeros((b, 64)),
+        jnp.zeros((b, 6)),
+        jnp.zeros((b, hw, hw, cfg.condition_channels)))["params"]
+
+    sd = export_to_torch_state_dict(params)
+    # spot-check diffusers naming conventions are emitted
+    keys = set(sd)
+    assert "conv_in.weight" in keys
+    assert "time_embedding.linear_1.weight" in keys
+    assert "add_embedding.linear_1.weight" in keys
+    assert "down_blocks.1.attentions.0.transformer_blocks.0.attn1.to_q.weight" in keys
+    assert "down_blocks.1.attentions.0.transformer_blocks.0.attn1.to_out.0.weight" in keys
+    assert "down_blocks.1.attentions.0.transformer_blocks.0.ff.net.0.proj.weight" in keys
+    assert "down_blocks.0.downsamplers.0.conv.weight" in keys
+    assert "up_blocks.0.upsamplers.0.conv.weight" in keys
+    assert "mid_block.attentions.0.proj_out.weight" in keys
+    assert "conv_norm_out.weight" in keys
+    assert "condition_embedding.conv_out.weight" in keys
+    assert "information_transformer_layes.0.attn.in_proj_weight" in keys
+    assert "information_transformer_layes.0.attn.out_proj.weight" in keys
+    assert "information_transformer_layes.0.mlp.c_fc.weight" in keys
+    assert "spatial_ch_projs.weight" in keys
+    # shape conventions
+    assert sd["conv_in.weight"].shape == (32, 4, 3, 3)          # OIHW
+    assert sd["spatial_ch_projs.weight"].shape == (32, 64)      # [out, in]
+    assert sd["information_transformer_layes.0.attn.in_proj_weight"].shape \
+        == (3 * 64, 64)
+
+    back = convert_unet(sd)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    paths_a = {tuple(str(getattr(p, "key", p)) for p in path)
+               for path, _ in flat_a}
+    paths_b = {tuple(str(getattr(p, "key", p)) for p in path)
+               for path, _ in flat_b}
+    assert paths_a == paths_b, (
+        f"missing: {paths_a - paths_b}\nextra: {paths_b - paths_a}")
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=str),
+                                  sorted(flat_b, key=str)):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0,
+                                   err_msg=str(pa))
+
+
+def test_vae_conversion_structural_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from faithdiff_tpu.config import tiny_vae_config
+    from faithdiff_tpu.models.vae import AutoencoderKL
+    from faithdiff_tpu.utils.convert import (convert_vae,
+                                             export_to_torch_state_dict)
+
+    vae = AutoencoderKL(config=tiny_vae_config())
+    params = vae.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3)))["params"]
+    sd = export_to_torch_state_dict(params)
+    keys = set(sd)
+    assert "encoder.conv_in.weight" in keys
+    assert "encoder.down_blocks.0.resnets.0.norm1.weight" in keys
+    assert "encoder.down_blocks.0.downsamplers.0.conv.weight" in keys
+    assert "encoder.mid_block.attentions.0.group_norm.weight" in keys
+    assert "encoder.mid_block.attentions.0.to_out.0.weight" in keys
+    assert "decoder.up_blocks.0.upsamplers.0.conv.weight" in keys
+    assert "quant_conv.weight" in keys and "post_quant_conv.weight" in keys
+
+    back = convert_vae(sd)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=str),
+                                  sorted(flat_b, key=str)):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(pa))
