@@ -43,7 +43,7 @@ def _xla_attention(q, k, v, scale: float, causal: bool = False):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, causal):
     """One (batch*head, q_block) program: online-softmax over k blocks."""
-    q = q_ref[0].astype(jnp.float32) * scale          # [block_q, d]
+    q = q_ref[0]                                       # [block_q, d] native dtype
     block_q = q.shape[0]
     kv_len = k_ref.shape[1]
     num_kb = kv_len // block_k
@@ -51,12 +51,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, causal):
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        # keep matmul inputs in the native dtype (bf16 MXU rate) and
+        # accumulate fp32 via preferred_element_type
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [block_q, block_k]
+        s = s * scale
         if causal:
             q_idx = q_block_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -71,7 +74,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, causal):
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = acc * alpha + pv

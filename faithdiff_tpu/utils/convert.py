@@ -318,3 +318,80 @@ def export_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
             arr = arr.T
         out[torch_key] = arr
     return out
+
+
+# ---------------------------------------------------------------------------
+# LLaVA captioner conversions
+# ---------------------------------------------------------------------------
+
+
+def _fix_rmsnorm_names(tree):
+    """RMSNorm weights land as {'scale': ...} from the generic rule but our
+    RMSNorm param is named 'weight'."""
+    if isinstance(tree, dict):
+        if set(tree) == {"scale"}:
+            return {"weight": tree["scale"]}
+        return {k: _fix_rmsnorm_names(v) for k, v in tree.items()}
+    return tree
+
+
+def convert_llama(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """transformers LlamaForCausalLM -> our `LlamaForCausalLM` params.
+
+    Handles the LLaVA variant (`llava/model/language_model/llava_llama.py`)
+    by dropping the multimodal tower keys (converted separately)."""
+    sd = {}
+    emb = None
+    for k, v in state_dict.items():
+        if "vision_tower" in k or "mm_projector" in k:
+            continue
+        if k == "model.embed_tokens.weight":
+            emb = _to_numpy(v)
+            continue
+        k = k.replace(".mlp.", ".")
+        sd[k] = v
+    tree = _fix_rmsnorm_names(convert_state_dict(sd))
+    if emb is not None:
+        tree["embed_tokens"] = {"embedding": emb}
+    return tree
+
+
+def convert_clip_vision(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """transformers CLIPVisionModel -> our `CLIPVisionTower` params."""
+    sd = {}
+    cls_emb = None
+    pos_emb = None
+    for k, v in state_dict.items():
+        k = k.replace("vision_model.", "")
+        if k == "embeddings.position_ids":
+            continue
+        if k == "embeddings.class_embedding":
+            cls_emb = _to_numpy(v)
+            continue
+        if k == "embeddings.position_embedding.weight":
+            pos_emb = _to_numpy(v)
+            continue
+        if k.startswith("post_layernorm"):
+            continue  # LLaVA selects pre-final hidden states; unused
+        k = k.replace("embeddings.patch_embedding.", "patch_embedding.")
+        k = k.replace("encoder.", "")
+        k = k.replace(".self_attn.", ".")
+        k = k.replace(".mlp.", ".")
+        sd[k] = v
+    tree = convert_state_dict(sd)
+    if cls_emb is not None:
+        tree["class_embedding"] = cls_emb
+    if pos_emb is not None:
+        tree["position_embedding"] = pos_emb
+    return tree
+
+
+def convert_vision_projector(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """LLaVA mm_projector (mlp2x_gelu: Sequential 0/2 Linears) -> our
+    `VisionProjector` (linear_0 / linear_2)."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("mm_projector.", "")
+        k = re.sub(r"^(\d)\.", r"linear_\1.", k)
+        sd[k] = v
+    return convert_state_dict(sd)

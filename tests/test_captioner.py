@@ -26,28 +26,9 @@ def test_vision_tower_parity_vs_transformers():
     hf = CLIPVisionModel(hf_cfg).eval()
     cfg = tiny_vision_config()
 
-    sd = {}
-    for k, v in hf.state_dict().items():
-        k = k.replace("vision_model.embeddings.patch_embedding.",
-                      "patch_embedding.")
-        k = k.replace("vision_model.embeddings.class_embedding",
-                      "class_embedding_raw")
-        k = k.replace("vision_model.embeddings.position_embedding.weight",
-                      "position_embedding_raw")
-        k = k.replace("vision_model.encoder.", "")
-        k = k.replace("vision_model.pre_layrnorm.", "pre_layrnorm.")
-        k = k.replace("vision_model.post_layernorm.", "post_layernorm.")
-        k = k.replace(".self_attn.", ".")
-        k = k.replace(".mlp.", ".")
-        sd[k] = v
-    cls = sd.pop("class_embedding_raw").numpy()
-    pos = sd.pop("position_embedding_raw").numpy()
-    sd.pop("vision_model.embeddings.position_ids", None)
-    sd = {k: v for k, v in sd.items() if not k.startswith("post_layernorm")}
-    tree = convert_state_dict(sd)
-    tree["class_embedding"] = cls
-    tree["position_embedding"] = pos
-    params = {"params": tree}
+    from faithdiff_tpu.utils.convert import convert_clip_vision
+
+    params = {"params": convert_clip_vision(hf.state_dict())}
 
     rng = np.random.default_rng(0)
     pix = rng.standard_normal((1, 56, 56, 3)).astype(np.float32)
@@ -71,29 +52,9 @@ def test_llama_parity_vs_transformers():
     hf = HFLlama(hf_cfg).eval()
     cfg = LlamaConfig.tiny()
 
-    sd = {}
-    for k, v in hf.state_dict().items():
-        k = k.replace("model.embed_tokens.", "embed_tokens_raw.")
-        k = k.replace("model.layers.", "model.layers.")
-        k = k.replace("model.norm.", "model.norm.")
-        k = k.replace(".self_attn.", ".self_attn.")
-        k = k.replace(".mlp.", ".")
-        sd[k] = v
-    emb = sd.pop("embed_tokens_raw.weight").numpy()
-    # norm weights: our RMSNorm param is "weight" (1D) — generic converter
-    # maps 1D `weight` to `scale`; rename to match
-    tree = convert_state_dict(sd)
+    from faithdiff_tpu.utils.convert import convert_llama
 
-    def fix_norms(node):
-        if isinstance(node, dict):
-            if "scale" in node and len(node) == 1:
-                return {"weight": node["scale"]}
-            return {k: fix_norms(v) for k, v in node.items()}
-        return node
-
-    tree = fix_norms(tree)
-    tree["embed_tokens"] = {"embedding": emb}
-    params = {"params": tree}
+    params = {"params": convert_llama(hf.state_dict())}
 
     model = LlamaForCausalLM(cfg)
     rng = np.random.default_rng(1)
@@ -152,3 +113,17 @@ def test_projector_shapes():
     x = jnp.zeros((1, 9, 8))
     params = proj.init(jax.random.PRNGKey(0), x)
     assert proj.apply(params, x).shape == (1, 9, 16)
+
+
+def test_convert_vision_projector():
+    import torch.nn as tnn
+
+    from faithdiff_tpu.utils.convert import convert_vision_projector
+
+    tmod = tnn.Sequential(tnn.Linear(8, 16), tnn.GELU(), tnn.Linear(16, 16))
+    sd = {f"mm_projector.{k}": v for k, v in tmod.state_dict().items()}
+    params = {"params": convert_vision_projector(sd)}
+    x = torch.randn(1, 4, 8)
+    ref = tmod(x)
+    out = VisionProjector(out_dim=16).apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), atol=1e-5)
