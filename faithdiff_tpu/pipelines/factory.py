@@ -77,14 +77,35 @@ def build_pipeline(
     def de_apply(params, image):
         return denoise_encoder.apply(params, image)
 
+    from ..models.vae import tiled_apply
+
+    use_tiled_vae = pipeline_config.use_tiled_vae
+    tile_latent = vae_config.tile_latent_min_size
+    tile_sample = vae_config.tile_sample_min_size
+    overlap = vae_config.tile_overlap_factor
+
     def vae_encode(params, image, key):
-        moments = vae.apply(params, image,
-                            method=AutoencoderKL.encode_moments)
+        def enc(img):
+            return vae.apply(params, img, method=AutoencoderKL.encode_moments)
+
+        if use_tiled_vae and max(image.shape[1:3]) > tile_sample:
+            moments = tiled_apply(enc, image, tile_in=tile_sample,
+                                  overlap_factor=overlap, scale=1 / 8)
+        else:
+            moments = enc(image)
         z = sample_from_moments(moments, key)
         return z.astype(jnp.float32) * scaling
 
     def vae_decode(params, latents):
-        return vae.apply(params, latents, method=AutoencoderKL.decode)
+        def dec(z):
+            return vae.apply(params, z, method=AutoencoderKL.decode)
+
+        # diffusers enables tiled decode when latents exceed the tile size
+        # (`pipeline_FaithDiff_tlc.py:898-905` switches)
+        if use_tiled_vae and max(latents.shape[1:3]) > tile_latent:
+            return tiled_apply(dec, latents, tile_in=tile_latent,
+                               overlap_factor=overlap, scale=8.0)
+        return dec(latents)
 
     return FaithDiffPipeline(
         unet_apply=unet_apply,

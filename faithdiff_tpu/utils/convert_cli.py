@@ -90,3 +90,30 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def export_main(argv=None):
+    """Export trained orbax params back to the reference FaithDiff.bin
+    layout (torch state dict): core UNet + fusion extras + denoise_encoder
+    under their reference namespaces (`unet_2d_condition_vae_extension.py:
+    444-478` inverse)."""
+    p = argparse.ArgumentParser("export")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--out", required=True, help="output .bin path")
+    args = p.parse_args(argv)
+
+    import torch
+
+    from ..training.checkpoint import load_params
+    from .convert import export_to_torch_state_dict
+
+    unet_params = load_params(os.path.join(args.checkpoint_dir, "unet"))
+    sd = export_to_torch_state_dict(unet_params)
+    de_dir = os.path.join(args.checkpoint_dir, "denoise_encoder")
+    if os.path.exists(de_dir):
+        de_params = load_params(de_dir)
+        de_sd = export_to_torch_state_dict(de_params.get("encoder", de_params))
+        sd.update({f"denoise_encoder.{k}": v for k, v in de_sd.items()})
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+               args.out)
+    print(f"exported {len(sd)} tensors -> {args.out}")

@@ -319,3 +319,35 @@ def test_vae_conversion_structural_roundtrip():
                                   sorted(flat_b, key=str)):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
                                       err_msg=str(pa))
+
+
+def test_pipeline_from_converted_params_matches_original():
+    """Full load path: export tiny init params to torch naming, convert
+    back, build the pipeline from them — outputs must be identical."""
+    import numpy as _np
+
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+    from faithdiff_tpu.utils.convert import (convert_denoise_encoder,
+                                             convert_unet, convert_vae,
+                                             export_to_torch_state_dict)
+
+    pipe = build_tiny_pipeline()
+    pe = jnp.zeros((1, 77, 64), jnp.float32)
+    pooled = jnp.zeros((1, 64), jnp.float32)
+    img = _np.random.default_rng(11).random((64, 64, 3)).astype(_np.float32)
+    ref = pipe(img, pe, pooled, num_inference_steps=2, seed=5,
+               output_type="latent")
+
+    unet_sd = export_to_torch_state_dict(pipe.unet_params["params"])
+    vae_sd = export_to_torch_state_dict(pipe.vae_params["params"])
+    de_sd = export_to_torch_state_dict(
+        pipe.denoise_encoder_params["params"]["encoder"])
+
+    pipe2 = build_tiny_pipeline(
+        unet_params={"params": convert_unet(unet_sd)},
+        vae_params={"params": convert_vae(vae_sd)},
+        denoise_encoder_params={"params": convert_denoise_encoder(de_sd)},
+    )
+    out = pipe2(img, pe, pooled, num_inference_steps=2, seed=5,
+                output_type="latent")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -105,3 +105,28 @@ def test_pipeline_tile_chunking_matches_unchunked():
     b = pipe_chunked(img, pe, pooled, num_inference_steps=2, seed=1,
                      output_type="latent")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pipeline_tiled_vae_path():
+    """use_tiled_vae decodes large latents tile-by-tile; output shape and
+    finiteness must hold for an input bigger than the VAE tile."""
+    from faithdiff_tpu.config import (PipelineConfig,
+                                      tiny_denoise_encoder_config,
+                                      tiny_unet_config, tiny_vae_config)
+    from faithdiff_tpu.pipelines.factory import build_pipeline
+    import jax.numpy as jnp
+
+    cfg = tiny_unet_config()
+    pipe = build_pipeline(
+        unet_config=cfg,
+        vae_config=tiny_vae_config(),            # tile_sample_min_size=64
+        denoise_encoder_config=tiny_denoise_encoder_config(),
+        pipeline_config=PipelineConfig(tile_size=256, num_inference_steps=2,
+                                       use_tiled_vae=True),
+        dtype=jnp.float32,
+    )
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(9).random((96, 96, 3)).astype(np.float32)
+    out = pipe(img, pe, pooled, num_inference_steps=2, seed=0)
+    assert out.shape == (96, 96, 3)
+    assert np.isfinite(out).all()
