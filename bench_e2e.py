@@ -14,6 +14,11 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: SDXL-scale jits take ~10 min through the
+# device tunnel; cache them across processes/rounds
+jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax.numpy as jnp
 import numpy as np
 

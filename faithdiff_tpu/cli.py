@@ -39,23 +39,31 @@ def _add_restore_args(p: argparse.ArgumentParser):
     p.add_argument("--start_point", choices=["lr", "noise"], default="lr")
     p.add_argument("--use_tile_vae", action="store_true")
     p.add_argument("--hdr", type=float, default=0.0)
-    p.add_argument("--checkpoint_dir", required=True,
-                   help="dir with converted params (unet/ vae/ denoise_encoder/ text_encoder*/)")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="dir with converted params (unet/ vae/ denoise_encoder/ text_encoder*/); omit for random init")
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--tile_devices", type=int, default=1)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test-config models (CI smoke runs)")
 
 
 def load_checkpointed_pipeline(args):
     """Build the pipeline from converted checkpoints on disk."""
     import jax.numpy as jnp
 
-    from .config import PipelineConfig
+    from .config import (PipelineConfig, tiny_denoise_encoder_config,
+                         tiny_unet_config, tiny_vae_config)
     from .pipelines.factory import build_pipeline
     from .training.checkpoint import load_params
 
     def maybe(path):
+        if not args.checkpoint_dir:
+            return None
         full = os.path.join(args.checkpoint_dir, path)
         return load_params(full) if os.path.exists(full) else None
+
+    def wrap(p):
+        return {"params": p} if p is not None and "params" not in p else p
 
     pipeline_config = PipelineConfig(
         num_inference_steps=args.num_inference_steps,
@@ -66,23 +74,33 @@ def load_checkpointed_pipeline(args):
         color_fix=args.color_fix,
         use_tiled_vae=args.use_tile_vae,
     )
+    kwargs = {}
+    if args.tiny:
+        kwargs = dict(unet_config=tiny_unet_config(),
+                      vae_config=tiny_vae_config(),
+                      denoise_encoder_config=tiny_denoise_encoder_config(),
+                      dtype=jnp.float32)
+    else:
+        kwargs = dict(dtype=jnp.bfloat16)
     return build_pipeline(
         pipeline_config=pipeline_config,
-        unet_params=maybe("unet"),
-        vae_params=maybe("vae"),
-        denoise_encoder_params=maybe("denoise_encoder"),
-        dtype=jnp.bfloat16,
+        unet_params=wrap(maybe("unet")),
+        vae_params=wrap(maybe("vae")),
+        denoise_encoder_params=wrap(maybe("denoise_encoder")),
         tile_devices=args.tile_devices,
+        **kwargs,
     )
 
 
-def _encode_caption(args, caption: str):
+def _encode_caption(args, caption: str, cross_dim: int = 2048,
+                    pooled_dim: int = 1280):
     """Caption -> (prompt_embeds, pooled) via the text towers, or zeros when
     no text-encoder checkpoint is present (unconditional restore)."""
     import jax.numpy as jnp
 
-    te_dir = os.path.join(args.checkpoint_dir, "text_encoders")
-    if args.tokenizer_dir and os.path.exists(te_dir):
+    te_dir = (os.path.join(args.checkpoint_dir, "text_encoders")
+              if args.checkpoint_dir else "")
+    if args.tokenizer_dir and te_dir and os.path.exists(te_dir):
         from .models.clip_text import SDXLTextEncoder
         from .models.tokenizer import SDXLTokenizer
         from .training.checkpoint import load_params
@@ -96,8 +114,8 @@ def _encode_caption(args, caption: str):
         pe, pooled = enc.apply({"params": params}, jnp.asarray(ids_1),
                                jnp.asarray(ids_2))
         return pe.astype(jnp.float32), pooled.astype(jnp.float32)
-    return (jnp.zeros((1, 77, 2048), jnp.float32),
-            jnp.zeros((1, 1280), jnp.float32))
+    return (jnp.zeros((1, 77, cross_dim), jnp.float32),
+            jnp.zeros((1, pooled_dim), jnp.float32))
 
 
 def cmd_restore(argv):
@@ -137,9 +155,11 @@ def cmd_restore(argv):
         padded, w0, h0, w1, h1 = check_image_size(img)
         lr = padded.astype(np.float32) / 255.0
 
-        pe, pooled = _encode_caption(args, caption)
+        cross_dim = 64 if args.tiny else 2048
+        pooled_dim = 64 if args.tiny else 1280
+        pe, pooled = _encode_caption(args, caption, cross_dim, pooled_dim)
         out = pipe(lr, pe, pooled, seed=args.seed)
-        out = out[:h0 * 1, :w0 * 1]  # crop padding back off
+        out = out[:h0, :w0]  # crop the /8 padding back off
         Image.fromarray(np.uint8(np.clip(out, 0, 1) * 255)).save(out_path)
         print(f"restored {name} -> {out_path}")
 

@@ -74,8 +74,9 @@ def build_pipeline(
                           add_sample=add_sample,
                           fusion_group_size=fusion_group_size)
 
-    def de_apply(params, image):
-        return denoise_encoder.apply(params, image)
+    # jit the host-called stages: eager op-by-op dispatch is pathological
+    # through the device tunnel (0.4 s/dispatch latency)
+    de_apply = jax.jit(lambda params, image: denoise_encoder.apply(params, image))
 
     from ..models.vae import tiled_apply
 
@@ -84,28 +85,30 @@ def build_pipeline(
     tile_sample = vae_config.tile_sample_min_size
     overlap = vae_config.tile_overlap_factor
 
-    def vae_encode(params, image, key):
-        def enc(img):
-            return vae.apply(params, img, method=AutoencoderKL.encode_moments)
+    _enc_jit = jax.jit(
+        lambda params, img: vae.apply(params, img,
+                                      method=AutoencoderKL.encode_moments))
+    _dec_jit = jax.jit(
+        lambda params, z: vae.apply(params, z, method=AutoencoderKL.decode))
 
+    def vae_encode(params, image, key):
         if use_tiled_vae and max(image.shape[1:3]) > tile_sample:
-            moments = tiled_apply(enc, image, tile_in=tile_sample,
+            moments = tiled_apply(lambda t: _enc_jit(params, t), image,
+                                  tile_in=tile_sample,
                                   overlap_factor=overlap, scale=1 / 8)
         else:
-            moments = enc(image)
+            moments = _enc_jit(params, image)
         z = sample_from_moments(moments, key)
         return z.astype(jnp.float32) * scaling
 
     def vae_decode(params, latents):
-        def dec(z):
-            return vae.apply(params, z, method=AutoencoderKL.decode)
-
         # diffusers enables tiled decode when latents exceed the tile size
         # (`pipeline_FaithDiff_tlc.py:898-905` switches)
         if use_tiled_vae and max(latents.shape[1:3]) > tile_latent:
-            return tiled_apply(dec, latents, tile_in=tile_latent,
+            return tiled_apply(lambda z: _dec_jit(params, z), latents,
+                               tile_in=tile_latent,
                                overlap_factor=overlap, scale=8.0)
-        return dec(latents)
+        return _dec_jit(params, latents)
 
     return FaithDiffPipeline(
         unet_apply=unet_apply,

@@ -96,6 +96,8 @@ class FaithDiffPipeline:
                             "guidance_rescale", "add_sample", "pad_tiles",
                             "tile_chunk"),
         )
+        self._jit_wavelet_fix = jax.jit(wavelet_color_fix)
+        self._jit_adain_fix = jax.jit(adain_color_fix)
 
     def _denoise_loop(
         self,
@@ -310,7 +312,8 @@ class FaithDiffPipeline:
 
         if color_fix in ("wavelet", "adain"):
             src = jnp.asarray(lr_image, jnp.float32)[None]
-            fix = wavelet_color_fix if color_fix == "wavelet" else adain_color_fix
-            image_out = fix(image_out, src)
+            fix = (self._jit_wavelet_fix if color_fix == "wavelet"
+                   else self._jit_adain_fix)
+            image_out = fix(image_out.astype(jnp.float32), src)
 
         return np.asarray(image_out[0])

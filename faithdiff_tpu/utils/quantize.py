@@ -74,3 +74,30 @@ def int8_matmul(x: jax.Array, w: Int8Weight,
                 w.values.astype(compute_dtype),
                 preferred_element_type=jnp.float32)
     return (y * w.scales).astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint delta utilities
+# (`/root/reference/llava/model/make_delta.py` / `apply_delta.py` equivalents:
+# distribute finetuned weights as deltas vs a base model)
+# ---------------------------------------------------------------------------
+
+
+def make_delta(base_params: Any, target_params: Any) -> Any:
+    """target - base per leaf (shapes must match; embedding rows added by
+    finetuning are kept verbatim like the reference's dim-mismatch path)."""
+    def sub(b, t):
+        if b.shape != t.shape:
+            return t
+        return (t.astype(jnp.float32) - b.astype(jnp.float32)).astype(t.dtype)
+
+    return jax.tree.map(sub, base_params, target_params)
+
+
+def apply_delta(base_params: Any, delta_params: Any) -> Any:
+    def add(b, d):
+        if b.shape != d.shape:
+            return d
+        return (b.astype(jnp.float32) + d.astype(jnp.float32)).astype(d.dtype)
+
+    return jax.tree.map(add, base_params, delta_params)

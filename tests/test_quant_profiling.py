@@ -55,3 +55,14 @@ def test_phase_timing():
     rep = phase_report(reset=True)
     assert rep["unit_test_phase"]["count"] == 1
     assert rep["unit_test_phase"]["total_s"] >= 0
+
+
+def test_checkpoint_delta_roundtrip():
+    from faithdiff_tpu.utils.quantize import apply_delta, make_delta
+
+    base = {"w": jnp.ones((4, 4)), "b": jnp.zeros((3,))}
+    target = {"w": jnp.full((4, 4), 2.5), "b": jnp.ones((3,))}
+    delta = make_delta(base, target)
+    rec = apply_delta(base, delta)
+    np.testing.assert_allclose(np.asarray(rec["w"]), 2.5)
+    np.testing.assert_allclose(np.asarray(rec["b"]), 1.0)
