@@ -55,20 +55,31 @@ class CaptionAgent:
     max_new_tokens: int = 512
 
     @staticmethod
-    def from_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16) -> "CaptionAgent":
+    def from_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16,
+                        load_8bit: bool = True) -> "CaptionAgent":
         """Load converted params + tokenizer from a local directory
-        (layout: llama/ vision/ projector/ tokenizer/)."""
+        (layout: llama/ vision/ projector/ tokenizer/).
+
+        load_8bit quantises the LM projections to int8 weight-only — the
+        default, since LLaVA-13B bf16 weights (26 GB) exceed one v5e chip's
+        HBM (the reference's `--load_8bit_llava`, `test.py:44`)."""
+        import dataclasses as _dc
+
         from transformers import AutoTokenizer
 
         from ..training.checkpoint import load_params
+        from .llama import quantize_llama_params
 
-        llama_cfg = LlamaConfig.llava_13b()
+        llama_cfg = _dc.replace(LlamaConfig.llava_13b(), quantized=load_8bit)
         llama = LlamaForCausalLM(llama_cfg, dtype=dtype)
         vision = CLIPVisionTower(CLIPVisionConfig(), dtype=dtype)
         projector = VisionProjector(llama_cfg.hidden_size, dtype=dtype)
+        llama_tree = load_params(os.path.join(ckpt_dir, "llama"))
+        if load_8bit:
+            llama_tree = quantize_llama_params(llama_tree)
         return CaptionAgent(
             llama=llama,
-            llama_params={"params": load_params(os.path.join(ckpt_dir, "llama"))},
+            llama_params={"params": llama_tree},
             vision=vision,
             vision_params={"params": load_params(os.path.join(ckpt_dir, "vision"))},
             projector=projector,

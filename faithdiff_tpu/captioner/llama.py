@@ -34,6 +34,10 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # int8 weight-only projections (the reference's `load_8bit` bitsandbytes
+    # path, `llava/model/builder.py:29-38`): required to fit LLaVA-13B in
+    # one v5e chip's 16 GB HBM (bf16 weights alone are 26 GB)
+    quantized: bool = False
 
     @staticmethod
     def llava_13b() -> "LlamaConfig":
@@ -45,6 +49,33 @@ class LlamaConfig:
                            intermediate_size=128, num_hidden_layers=2,
                            num_attention_heads=4, num_key_value_heads=4,
                            max_position_embeddings=128)
+
+
+class Int8Dense(nn.Module):
+    """Weight-only int8 linear: per-output-channel absmax scales, bf16
+    matmul with the dequantisation folded into the epilogue."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        values = self.param(
+            "values", nn.initializers.zeros, (in_features, self.features),
+            jnp.int8)
+        scales = self.param(
+            "scales", nn.initializers.ones, (self.features,), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), values.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * scales).astype(self.dtype)
+
+
+def _proj(quantized: bool, features: int, dtype, name: str):
+    if quantized:
+        return Int8Dense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
 
 
 class RMSNorm(nn.Module):
@@ -85,9 +116,8 @@ class LlamaAttention(nn.Module):
         heads = cfg.num_attention_heads
         kv_heads = cfg.num_key_value_heads
         hd = d // heads
-        dense = lambda n, feats: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name=n)
+        dense = lambda n, feats: _proj(  # noqa: E731
+            cfg.quantized, feats, self.dtype, n)
         b, s, _ = x.shape
         q = dense("q_proj", heads * hd)(x).reshape(b, s, heads, hd)
         k = dense("k_proj", kv_heads * hd)(x).reshape(b, s, kv_heads, hd)
@@ -141,14 +171,12 @@ class LlamaLayer(nn.Module):
                 h, positions, kv_cache, cache_index, attn_len)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="up_proj")(h)
-        down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="down_proj")(
-                            jax.nn.silu(gate) * up)
+        gate = _proj(cfg.quantized, cfg.intermediate_size, self.dtype,
+                     "gate_proj")(h)
+        up = _proj(cfg.quantized, cfg.intermediate_size, self.dtype,
+                   "up_proj")(h)
+        down = _proj(cfg.quantized, cfg.hidden_size, self.dtype,
+                     "down_proj")(jax.nn.silu(gate) * up)
         return x + down, new_cache
 
 
@@ -183,9 +211,8 @@ class LlamaForCausalLM(nn.Module):
         self.embed_tokens = nn.Embed(
             self.config.vocab_size, self.config.hidden_size,
             param_dtype=jnp.float32, dtype=self.dtype, name="embed_tokens")
-        self.lm_head = nn.Dense(
-            self.config.vocab_size, use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, name="lm_head")
+        self.lm_head = _proj(self.config.quantized, self.config.vocab_size,
+                             self.dtype, "lm_head")
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)
@@ -302,3 +329,25 @@ def greedy_generate(
         out_tokens = out_tokens.at[:, step].set(tok)
         lengths = lengths + (~done).astype(jnp.int32)
     return GenerateResult(tokens=out_tokens, lengths=lengths)
+
+
+_QUANT_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+                     "gate_proj", "up_proj", "down_proj", "lm_head")
+
+
+def quantize_llama_params(params):
+    """fp param tree -> int8 weight-only tree matching `quantized=True`
+    module structure (Dense kernel [in, out] -> {values int8, scales f32})."""
+    import numpy as np
+
+    from ..utils.quantize import quantize_int8
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if name in _QUANT_PROJ_NAMES and set(node) == {"kernel"}:
+                q = quantize_int8(jnp.asarray(node["kernel"]))
+                return {"values": q.values, "scales": q.scales}
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params)

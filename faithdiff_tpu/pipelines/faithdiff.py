@@ -96,8 +96,25 @@ class FaithDiffPipeline:
                             "guidance_rescale", "add_sample", "pad_tiles",
                             "tile_chunk"),
         )
-        self._jit_wavelet_fix = jax.jit(wavelet_color_fix)
-        self._jit_adain_fix = jax.jit(adain_color_fix)
+        # decode + denormalize + color fix fused into one jit (separate
+        # dispatches each pay the device-tunnel round-trip latency)
+        self._jit_postprocess = jax.jit(
+            self._postprocess, static_argnames=("color_fix",))
+
+    def _postprocess(self, vae_params, latents, src, color_fix: str):
+        if self.latents_mean is not None and self.latents_std is not None:
+            mean = jnp.asarray(self.latents_mean).reshape(1, 1, 1, 4)
+            std = jnp.asarray(self.latents_std).reshape(1, 1, 1, 4)
+            latents = latents * std / self.vae_scaling_factor + mean
+        else:
+            latents = latents / self.vae_scaling_factor
+        image_out = self.vae_decode(vae_params, latents)
+        image_out = denormalize_from_diffusion(image_out).astype(jnp.float32)
+        if color_fix == "wavelet":
+            image_out = wavelet_color_fix(image_out, src)
+        elif color_fix == "adain":
+            image_out = adain_color_fix(image_out, src)
+        return image_out
 
     def _denoise_loop(
         self,
@@ -300,20 +317,8 @@ class FaithDiffPipeline:
         if output_type == "latent":
             return latents
 
-        # denormalize + decode (`:1423-1438`)
-        if self.latents_mean is not None and self.latents_std is not None:
-            mean = jnp.asarray(self.latents_mean).reshape(1, 1, 1, 4)
-            std = jnp.asarray(self.latents_std).reshape(1, 1, 1, 4)
-            latents = latents * std / self.vae_scaling_factor + mean
-        else:
-            latents = latents / self.vae_scaling_factor
-        image_out = self.vae_decode(self.vae_params, latents)
-        image_out = denormalize_from_diffusion(image_out)
-
-        if color_fix in ("wavelet", "adain"):
-            src = jnp.asarray(lr_image, jnp.float32)[None]
-            fix = (self._jit_wavelet_fix if color_fix == "wavelet"
-                   else self._jit_adain_fix)
-            image_out = fix(image_out.astype(jnp.float32), src)
-
+        # denormalize + decode + color fix (`:1423-1452`), one fused jit
+        src = jnp.asarray(lr_image, jnp.float32)[None]
+        image_out = self._jit_postprocess(
+            self.vae_params, latents, src, color_fix=color_fix)
         return np.asarray(image_out[0])

@@ -127,3 +127,42 @@ def test_convert_vision_projector():
     ref = tmod(x)
     out = VisionProjector(out_dim=16).apply(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), atol=1e-5)
+
+
+def test_int8_llama_matches_fp_closely():
+    """quantized=True model with quantize_llama_params weights must track
+    the fp model's logits (weight-only int8, ~1% relative error)."""
+    from faithdiff_tpu.captioner.llama import quantize_llama_params
+
+    cfg = LlamaConfig.tiny()
+    qcfg = LlamaConfig(**{**cfg.__dict__, "quantized": True})
+    model = LlamaForCausalLM(cfg)
+    qmodel = LlamaForCausalLM(qcfg)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 256, (1, 8)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(ids),
+                        jnp.zeros((1, 8), jnp.int32),
+                        method=LlamaForCausalLM.init_forward)
+    qparams = {"params": quantize_llama_params(params["params"])}
+
+    # structure matches the quantized model's expectations
+    qinit = qmodel.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.zeros((1, 8), jnp.int32),
+                        method=LlamaForCausalLM.init_forward)
+    assert jax.tree_util.tree_structure(qinit) == \
+        jax.tree_util.tree_structure(qparams)
+
+    logits = model.apply(params, jnp.asarray(ids),
+                         jnp.zeros((1, 8), jnp.int32),
+                         method=LlamaForCausalLM.init_forward)
+    qlogits = qmodel.apply(qparams, jnp.asarray(ids),
+                           jnp.zeros((1, 8), jnp.int32),
+                           method=LlamaForCausalLM.init_forward)
+    denom = float(jnp.abs(logits).mean()) + 1e-8
+    rel = float(jnp.abs(qlogits - logits).mean()) / denom
+    assert rel < 0.05, rel
+    # memory: int8 values dominate -> ~4x smaller than fp32 kernels
+    from faithdiff_tpu.utils.quantize import param_bytes
+
+    assert param_bytes(qparams) < 0.45 * param_bytes(params)
