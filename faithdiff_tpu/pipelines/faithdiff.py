@@ -218,6 +218,7 @@ class FaithDiffPipeline:
         seed: int = 0,
         latents: Optional[jax.Array] = None,
         output_type: str = "np",
+        noise_source: str = "jax",
     ) -> np.ndarray:
         cfg = self.config
         num_inference_steps = num_inference_steps or cfg.num_inference_steps
@@ -255,7 +256,18 @@ class FaithDiffPipeline:
         # initial latents (`prepare_latents`, :819-835)
         state = self.scheduler.set_timesteps(num_inference_steps)
         if latents is None:
-            latents = jax.random.normal(k_lat, (1, lh, lw, 4), jnp.float32)
+            if noise_source == "torch":
+                # bit-parity with the reference/diffusers `randn_tensor`:
+                # torch.Generator CPU noise in NCHW, rearranged to NHWC
+                # (identical values per (c, y, x) position)
+                import torch
+
+                gen = torch.Generator().manual_seed(seed)
+                t_noise = torch.randn((1, 4, lh, lw), generator=gen)
+                latents = jnp.asarray(
+                    t_noise.permute(0, 2, 3, 1).numpy(), jnp.float32)
+            else:
+                latents = jax.random.normal(k_lat, (1, lh, lw, 4), jnp.float32)
         latents = latents * state.init_noise_sigma
 
         if start_point == "lr":
