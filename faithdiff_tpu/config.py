@@ -51,6 +51,9 @@ class UNetConfig:
     # (`unet_2d_condition_vae_extension.py:382-401`)
     with_faithdiff_extension: bool = True
     condition_channels: int = 512           # denoise_encoder output channels
+    # rematerialise each UNet block in the backward pass (the reference's
+    # gradient checkpointing, `unet_2d_condition_vae_extension.py:125-143`)
+    remat: bool = False
     info_transformer_layers: int = 2
     info_transformer_dim: int = 640         # 2 * block_out_channels[0]
     info_transformer_heads: int = 8

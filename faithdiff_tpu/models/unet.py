@@ -99,6 +99,19 @@ class UNet2DConditionModel(nn.Module):
             )(sample, cond, group_size=fusion_group_size)
             sample = sample + feat_alpha if add_sample else feat_alpha
 
+        # block classes, optionally rematerialised (trade FLOPs for HBM in
+        # the backward pass — jax.checkpoint at block granularity)
+        if cfg.remat:
+            _Down = nn.remat(DownBlock2D)
+            _CrossDown = nn.remat(CrossAttnDownBlock2D)
+            _Mid = nn.remat(UNetMidBlock2DCrossAttn)
+            _Up = nn.remat(UpBlock2D, static_argnums=(4,))
+            _CrossUp = nn.remat(CrossAttnUpBlock2D, static_argnums=(5,))
+        else:
+            _Down, _CrossDown = DownBlock2D, CrossAttnDownBlock2D
+            _Mid, _Up, _CrossUp = (UNetMidBlock2DCrossAttn, UpBlock2D,
+                                   CrossAttnUpBlock2D)
+
         # 3. down blocks
         down_res: Tuple[jax.Array, ...] = (sample,)
         n_blocks = len(cfg.down_block_types)
@@ -106,7 +119,7 @@ class UNet2DConditionModel(nn.Module):
             out_ch = cfg.block_out_channels[i]
             is_final = i == n_blocks - 1
             if block_type == "CrossAttnDownBlock2D":
-                sample, res = CrossAttnDownBlock2D(
+                sample, res = _CrossDown(
                     out_ch, num_layers=cfg.layers_per_block,
                     transformer_depth=cfg.transformer_layers_per_block[i],
                     # diffusers SDXL quirk: `attention_head_dim` in the config
@@ -119,7 +132,7 @@ class UNet2DConditionModel(nn.Module):
                     name=f"down_blocks_{i}",
                 )(sample, emb, context)
             else:
-                sample, res = DownBlock2D(
+                sample, res = _Down(
                     out_ch, num_layers=cfg.layers_per_block,
                     add_downsample=not is_final,
                     groups=cfg.norm_num_groups, eps=cfg.norm_eps,
@@ -128,7 +141,7 @@ class UNet2DConditionModel(nn.Module):
             down_res = down_res + res
 
         # 4. mid block
-        sample = UNetMidBlock2DCrossAttn(
+        sample = _Mid(
             cfg.block_out_channels[-1],
             transformer_depth=cfg.transformer_layers_per_block[-1],
             heads=cfg.attention_head_dim[-1],
@@ -149,7 +162,7 @@ class UNet2DConditionModel(nn.Module):
             upsample_size = down_res[-1].shape[1:3] if down_res else None
             rev_idx = n_blocks - 1 - i
             if block_type == "CrossAttnUpBlock2D":
-                sample = CrossAttnUpBlock2D(
+                sample = _CrossUp(
                     out_ch, num_layers=num_layers,
                     transformer_depth=cfg.transformer_layers_per_block[rev_idx],
                     heads=cfg.attention_head_dim[rev_idx],
@@ -160,7 +173,7 @@ class UNet2DConditionModel(nn.Module):
                     name=f"up_blocks_{i}",
                 )(sample, res, emb, context, upsample_size)
             else:
-                sample = UpBlock2D(
+                sample = _Up(
                     out_ch, num_layers=num_layers, add_upsample=not is_final,
                     groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                     dtype=self.dtype, name=f"up_blocks_{i}",

@@ -66,6 +66,14 @@ def build_pipeline(
         denoise_encoder_params = denoise_encoder.init(
             r3, jnp.zeros((1, s, s, 3)))
 
+    if dtype != jnp.float32:
+        # inference: store params in the compute dtype — fp32 SDXL weights
+        # alone are 10.4 GB and overflow one chip's HBM with activations
+        cast = lambda t: jax.tree.map(lambda p: p.astype(dtype), t)  # noqa
+        unet_params = cast(unet_params)
+        vae_params = cast(vae_params)
+        denoise_encoder_params = cast(denoise_encoder_params)
+
     scaling = vae_config.scaling_factor
 
     def unet_apply(params, sample, t, ctx, pooled, time_ids, cond,

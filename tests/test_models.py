@@ -171,3 +171,28 @@ def test_tiled_encode_shape_and_single_tile_parity():
     np.testing.assert_allclose(
         np.asarray(tiled_small), np.asarray(full_small), atol=1e-5
     )
+
+
+def test_unet_remat_matches_non_remat():
+    """remat=True must change memory behavior only — identical outputs and
+    gradients flow."""
+    import dataclasses
+
+    cfg = tiny_unet_config()
+    rcfg = dataclasses.replace(cfg, remat=True)
+    model = UNet2DConditionModel(config=cfg)
+    rmodel = UNet2DConditionModel(config=rcfg)
+    rng = np.random.default_rng(21)
+    b, hw = 1, 16
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)  # noqa
+    args = (mk(b, hw, hw, 4), jnp.full((b,), 10.0),
+            mk(b, 77, cfg.cross_attention_dim), mk(b, 64),
+            jnp.zeros((b, 6)), mk(b, hw, hw, cfg.condition_channels))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+    rout = rmodel.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rout), atol=1e-4)
+
+    g = jax.grad(
+        lambda p: jnp.sum(rmodel.apply(p, *args) ** 2))(params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
