@@ -212,6 +212,20 @@ _MIN_PALLAS_SEQ = 1024
 _MAX_PALLAS_KV_ELEMS = 512 * 1024
 # score-matrix size above which the plain XLA path becomes memory-hostile
 _MAX_XLA_SCORE_ELEMS = 64 * 1024 * 1024
+# XLA's fused dot_product_attention beats the Pallas kernel at SDXL shapes
+# (68 vs 53 TF/s at [20,10,4096,64]) but materialises the score matrix —
+# only use it while that stays within a ~1.5 GB bf16 budget
+_MAX_NATIVE_SCORE_ELEMS = 768 * 1024 * 1024
+
+
+def _native_attention(q, k, v, scale: float, causal: bool):
+    """XLA fused attention (jax.nn.dot_product_attention, BSHD layout)."""
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = jax.nn.dot_product_attention(
+        qt, kt, vt, scale=scale, is_causal=causal)
+    return out.transpose(0, 2, 1, 3)
 
 
 def multi_head_attention(
@@ -234,11 +248,18 @@ def multi_head_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     kv_elems = k.shape[2] * k.shape[-1]
+    score_elems = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
+    long_seq = (q.shape[2] >= _MIN_PALLAS_SEQ
+                and k.shape[2] >= _MIN_PALLAS_SEQ)
+    # NOTE: jax.nn.dot_product_attention wins in isolation at SDXL shapes
+    # (68 vs 53 TF/s) but REGRESSES the full UNet step (136 -> 173 ms):
+    # the BHSD<->BSHD transposes + score-matrix HBM traffic outweigh the
+    # fused-kernel win in context. Keep `_native_attention` available but
+    # do not auto-select it.
     if use_flash is None:
         use_flash = (
             _on_tpu()
-            and q.shape[2] >= _MIN_PALLAS_SEQ
-            and k.shape[2] >= _MIN_PALLAS_SEQ
+            and long_seq
             and q.shape[-1] % 64 == 0
             and k.shape[2] % 128 == 0
             and q.shape[2] % 128 == 0
@@ -246,7 +267,6 @@ def multi_head_attention(
         )
     if use_flash:
         return _flash_attention(q, k, v, scale, causal, block_q, block_k)
-    score_elems = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2]
     if not causal and score_elems > _MAX_XLA_SCORE_ELEMS:
         return _chunked_xla_attention(q, k, v, scale)
     return _xla_attention(q, k, v, scale, causal)

@@ -108,3 +108,15 @@ def test_chunked_xla_attention_matches_reference():
     ref = _xla_attention(q, k, v, scale)
     out = _chunked_xla_attention(q, k, v, scale, chunk=512)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_native_attention_matches_reference():
+    from faithdiff_tpu.ops.attention import _native_attention
+
+    q = _rand((1, 2, 128, 32), 30)
+    k = _rand((1, 2, 128, 32), 31)
+    v = _rand((1, 2, 128, 32), 32)
+    scale = 1.0 / np.sqrt(32)
+    ref = _xla_attention(q, k, v, scale)
+    out = _native_attention(q, k, v, scale, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

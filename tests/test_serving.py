@@ -117,3 +117,44 @@ def test_no_worker_for_unknown_model(stack):
     controller, caddr, worker, waddr = stack
     out = json.loads(_post(caddr, "/get_worker_address", {"model": "nope"}))
     assert out["address"] == ""
+
+
+def test_distributed_single_host_noop():
+    from faithdiff_tpu.parallel.distributed import (init_distributed,
+                                                    local_batch_slice)
+
+    assert init_distributed() == 0
+    assert local_batch_slice(16) == slice(0, 16)
+
+
+def test_chat_cli_parses(monkeypatch, tmp_path, capsys):
+    """Chat loop drives the agent with accumulated history."""
+    import numpy as np
+    from PIL import Image
+
+    from faithdiff_tpu.serving import chat
+
+    img_path = tmp_path / "x.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+
+    class StubAgent:
+        temperature = 0.2
+        max_new_tokens = 16
+        calls = []
+
+        def caption(self, img, question=""):
+            StubAgent.calls.append(question)
+            return f"echo: {question[-20:]}"
+
+    monkeypatch.setattr(
+        "faithdiff_tpu.captioner.agent.CaptionAgent.from_checkpoint",
+        staticmethod(lambda d: StubAgent()))
+    inputs = iter(["hello", "more"])
+    monkeypatch.setattr("builtins.input",
+                        lambda prompt="": next(inputs))
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        chat.main(["--captioner_dir", "fake", "--image", str(img_path)])
+    assert len(StubAgent.calls) == 2
+    assert "hello" in StubAgent.calls[1]  # history carried into turn 2
