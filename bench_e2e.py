@@ -31,16 +31,20 @@ def main(scenarios=("1024",)):
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    pipe = build_pipeline(
-        pipeline_config=PipelineConfig(num_inference_steps=20),
-        dtype=dtype,
-        tile_chunk=4,
-    )
     pe = jnp.zeros((1, 77, 2048), jnp.float32)
     pooled = jnp.zeros((1, 1280), jnp.float32)
 
     for scen in scenarios:
         size = int(scen)
+        pipe = build_pipeline(
+            pipeline_config=PipelineConfig(
+                num_inference_steps=20,
+                # 4K-class and above: tiled VAE/denoise-encoder (memory)
+                use_tiled_vae=size >= 4096,
+            ),
+            dtype=dtype,
+            tile_chunk=4,
+        )
         rng = np.random.default_rng(0)
         img = rng.random((size, size, 3)).astype(np.float32)
 

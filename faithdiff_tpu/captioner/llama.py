@@ -126,14 +126,21 @@ class LlamaAttention(nn.Module):
         k = rotary_embed(k.transpose(0, 2, 1, 3), positions, cfg.rope_theta)
         v = v.transpose(0, 2, 1, 3)
 
-        if kv_cache is None:
-            # prefill: pure causal attention
+        if kv_cache is None or s > 1:
+            # prefill: pure causal attention over the fresh k/v; when a
+            # cache is provided, also write the prompt k/v into it so decode
+            # can continue from position s
+            new_cache = None
+            if kv_cache is not None:
+                ck, cv = kv_cache
+                ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
+                new_cache = (ck, cv)
             if kv_heads != heads:
                 rep = heads // kv_heads
                 k = jnp.repeat(k, rep, axis=1)
                 v = jnp.repeat(v, rep, axis=1)
             out = multi_head_attention(q, k, v, causal=True)
-            new_cache = None
         else:
             # decode: write k/v at cache_index, attend over cache[:attn_len]
             ck, cv = kv_cache                  # [B, KVH, MAX, D]
@@ -263,18 +270,13 @@ def greedy_generate(
     b, s, _ = prompt_embeds.shape
     max_len = s + max_new_tokens
 
-    # ---- prefill: run the full prompt once, then re-run k/v into the cache
-    # (single pass design: run with cache over positions [0, s))
+    # ---- prefill: one causal pass over the whole prompt that also writes
+    # the prompt k/v into the caches (q len > 1 selects the causal-prefill
+    # branch in LlamaAttention)
     caches = init_kv_caches(cfg, b, max_len, dtype=prompt_embeds.dtype)
-
-    # prefill by chunking through the cache path (one call, q len = s)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-    # For prefill with cache we need causal masking across the chunk; use
-    # the no-cache path for logits and a cache-filling pass:
-    logits, _ = model.apply(params, prompt_embeds, positions)
-    # fill caches with the prompt's k/v by a cache pass over the prompt
-    _, caches = model.apply(params, prompt_embeds, positions, caches, 0,
-                            jnp.asarray(s - 1))
+    logits, caches = model.apply(params, prompt_embeds, positions, caches, 0,
+                                 jnp.asarray(s - 1))
     next_logits = logits[:, -1, :]
 
     def sample(logits, key):

@@ -84,7 +84,20 @@ def build_pipeline(
 
     # jit the host-called stages: eager op-by-op dispatch is pathological
     # through the device tunnel (0.4 s/dispatch latency)
-    de_apply = jax.jit(lambda params, image: denoise_encoder.apply(params, image))
+    _de_jit = jax.jit(lambda params, image: denoise_encoder.apply(params, image))
+    de_tile = denoise_encoder_config.tile_sample_min_size
+    de_overlap = denoise_encoder_config.tile_overlap_factor
+
+    def de_apply(params, image):
+        # tiled LQ-feature extraction for large inputs (the reference's
+        # `enable_vae_tiling` also enables denoise_encoder tiling,
+        # `pipeline_FaithDiff_tlc.py:898-905`)
+        if pipeline_config.use_tiled_vae and max(image.shape[1:3]) > de_tile:
+            from ..models.vae import tiled_apply as _ta
+
+            return _ta(lambda t: _de_jit(params, t), image, tile_in=de_tile,
+                       overlap_factor=de_overlap, scale=1 / 8)
+        return _de_jit(params, image)
 
     from ..models.vae import tiled_apply
 
