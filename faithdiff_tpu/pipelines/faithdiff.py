@@ -97,24 +97,34 @@ class FaithDiffPipeline:
                             "tile_chunk"),
         )
         # decode + denormalize + color fix fused into one jit (separate
-        # dispatches each pay the device-tunnel round-trip latency)
+        # dispatches each pay the device-tunnel round-trip latency). The
+        # tiled-VAE path must NOT be fused: inlining every tile decode into
+        # one program makes XLA keep too many tile buffers live (OOM at 4K+)
+        # — there the decode runs tile-by-tile outside the fusion.
         self._jit_postprocess = jax.jit(
             self._postprocess, static_argnames=("color_fix",))
+        self._jit_denorm = jax.jit(self._denormalize_latents)
+        self._jit_finish = jax.jit(self._finish, static_argnames=("color_fix",))
 
-    def _postprocess(self, vae_params, latents, src, color_fix: str):
+    def _denormalize_latents(self, latents):
         if self.latents_mean is not None and self.latents_std is not None:
             mean = jnp.asarray(self.latents_mean).reshape(1, 1, 1, 4)
             std = jnp.asarray(self.latents_std).reshape(1, 1, 1, 4)
-            latents = latents * std / self.vae_scaling_factor + mean
-        else:
-            latents = latents / self.vae_scaling_factor
-        image_out = self.vae_decode(vae_params, latents)
+            return latents * std / self.vae_scaling_factor + mean
+        return latents / self.vae_scaling_factor
+
+    def _finish(self, image_out, src, color_fix: str):
         image_out = denormalize_from_diffusion(image_out).astype(jnp.float32)
         if color_fix == "wavelet":
             image_out = wavelet_color_fix(image_out, src)
         elif color_fix == "adain":
             image_out = adain_color_fix(image_out, src)
         return image_out
+
+    def _postprocess(self, vae_params, latents, src, color_fix: str):
+        latents = self._denormalize_latents(latents)
+        image_out = self.vae_decode(vae_params, latents)
+        return self._finish(image_out, src, color_fix)
 
     def _denoise_loop(
         self,
@@ -138,12 +148,6 @@ class FaithDiffPipeline:
         t_pad = t_count + pad_tiles
         weights = jnp.asarray(gaussian_tile_weights(*layout.kernel))
 
-        # batch layout: tile-major CFG pairs [neg_0, pos_0, neg_1, pos_1, ...]
-        ctx = jnp.tile(prompt_embeds, (t_pad, 1, 1))
-        pooled = jnp.tile(pooled_embeds, (t_pad, 1))
-        time_ids = jnp.repeat(base_time_ids, 2, axis=0)
-        img_tiles2 = jnp.repeat(image_latent_tiles, 2, axis=0)
-
         pad_idx = np.arange(pad_tiles) % t_count
 
         def pad(tiles):
@@ -153,15 +157,26 @@ class FaithDiffPipeline:
 
         chunk = t_pad if tile_chunk is None else min(tile_chunk, t_pad)
 
-        def run_unet(model_in, t, ctx, pooled, time_ids, img):
-            return self.unet_apply(
-                unet_params, model_in, t, ctx, pooled, time_ids, img,
+        # per-UNet-call constants (CFG pair per tile, built at chunk size so
+        # the duplicated image-latent tiles never materialise for ALL tiles
+        # at once — at 8K-class tile counts that duplication alone is GBs)
+        ctx_c = jnp.tile(prompt_embeds, (chunk, 1, 1))
+        pooled_c = jnp.tile(pooled_embeds, (chunk, 1))
+
+        def run_unet(tiles_c, i, t, time_ids_c, img_c):
+            """One UNet call over a chunk of tiles: duplicate to CFG pairs
+            here ([neg_0, pos_0, neg_1, pos_1, ...] tile-major)."""
+            model_in = jnp.repeat(tiles_c, 2, axis=0)
+            model_in = sched.scale_model_input(state, model_in, i)
+            eps = self.unet_apply(
+                unet_params, model_in, t, ctx_c, pooled_c,
+                jnp.repeat(time_ids_c, 2, axis=0),
+                jnp.repeat(img_c, 2, axis=0),
                 add_sample, 2)
+            return eps
 
         def step_fn(latents, i):
             tiles = pad(split_tiles(latents, layout))          # [Tp, k, k, 4]
-            model_in = jnp.repeat(tiles, 2, axis=0)            # CFG pairs
-            model_in = sched.scale_model_input(state, model_in, i)
             t = state.timesteps[i]
             if chunk < t_pad:
                 # bound UNet working-set: lax.map over tile chunks — the
@@ -170,19 +185,18 @@ class FaithDiffPipeline:
                 n_chunks = t_pad // chunk
 
                 def per_chunk(args):
-                    m, cx, pl, ti, im = args
-                    return run_unet(m, t, cx, pl, ti, im)
+                    tl, ti, im = args
+                    return run_unet(tl, i, t, ti, im)
 
                 def r(x):
-                    return x.reshape(n_chunks, 2 * chunk, *x.shape[1:])
+                    return x.reshape(n_chunks, chunk, *x.shape[1:])
 
                 eps = jax.lax.map(
                     per_chunk,
-                    (r(model_in), r(ctx), r(pooled), r(time_ids),
-                     r(img_tiles2)))
+                    (r(tiles), r(base_time_ids), r(image_latent_tiles)))
                 eps = eps.reshape(2 * t_pad, *eps.shape[2:])
             else:
-                eps = run_unet(model_in, t, ctx, pooled, time_ids, img_tiles2)
+                eps = run_unet(tiles, i, t, base_time_ids, image_latent_tiles)
             eps = eps.reshape(t_pad, 2, *eps.shape[1:])
             eps_uncond, eps_text = eps[:, 0], eps[:, 1]
             eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -329,8 +343,14 @@ class FaithDiffPipeline:
         if output_type == "latent":
             return latents
 
-        # denormalize + decode + color fix (`:1423-1452`), one fused jit
+        # denormalize + decode + color fix (`:1423-1452`)
         src = jnp.asarray(lr_image, jnp.float32)[None]
-        image_out = self._jit_postprocess(
-            self.vae_params, latents, src, color_fix=color_fix)
+        if self.config.use_tiled_vae:
+            # tile-by-tile decode outside the fusion (memory-bounded)
+            latents = self._jit_denorm(latents)
+            image_out = self.vae_decode(self.vae_params, latents)
+            image_out = self._jit_finish(image_out, src, color_fix=color_fix)
+        else:
+            image_out = self._jit_postprocess(
+                self.vae_params, latents, src, color_fix=color_fix)
         return np.asarray(image_out[0])
