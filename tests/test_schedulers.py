@@ -133,3 +133,71 @@ def test_scheduler_state_is_vmappable():
         [sched.step(state, eps[i], 0, tiles[i]) for i in range(4)]
     )
     np.testing.assert_allclose(np.asarray(batched), np.asarray(seq), rtol=1e-6)
+
+
+def test_euler_ancestral_step():
+    from faithdiff_tpu.schedulers import EulerAncestralDiscreteScheduler
+
+    sched = EulerAncestralDiscreteScheduler(SchedulerConfig())
+    state = sched.set_timesteps(10)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    # deterministic part (no key): must differ from plain Euler (sigma_down)
+    det = sched.step(state, eps, 0, x)
+    plain = EulerDiscreteScheduler(SchedulerConfig()).step(state, eps, 0, x)
+    assert np.abs(np.asarray(det) - np.asarray(plain)).max() > 1e-6
+    # stochastic part: different keys -> different results, same key -> same
+    a = sched.step(state, eps, 0, x, key=jax.random.PRNGKey(0))
+    b = sched.step(state, eps, 0, x, key=jax.random.PRNGKey(0))
+    c = sched.step(state, eps, 0, x, key=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+    # final step: sigma_to = 0 -> no noise regardless of key
+    last = sched.step(state, eps, 9, x, key=jax.random.PRNGKey(2))
+    last2 = sched.step(state, eps, 9, x, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(last), np.asarray(last2), atol=1e-6)
+
+
+def test_euler_karras_sigmas():
+    cfg = SchedulerConfig(use_karras_sigmas=True)
+    sched = EulerDiscreteScheduler(cfg)
+    state = sched.set_timesteps(10)
+    sig = np.asarray(state.sigmas)
+    assert sig[-1] == 0.0
+    assert all(np.diff(sig[:-1]) < 0)  # strictly decreasing
+    # Karras rho-7 spacing concentrates steps at low sigmas: the median
+    # sigma is well below the linear-interp schedule's median
+    lin = np.asarray(
+        EulerDiscreteScheduler(SchedulerConfig()).set_timesteps(10).sigmas)
+    assert np.median(sig[:-1]) < np.median(lin[:-1])
+    # rho-7 tail: consecutive low-sigma ratios are near-geometric
+    ratios = sig[1:-1] / sig[:-2]
+    assert ratios.std() < 0.1
+    # exact-epsilon recovery still holds under Karras spacing
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    x = x0 + eps * state.sigmas[0]
+    for i in range(10):
+        x = sched.step(state, eps, i, x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+
+
+def test_ddpm_stochastic_step_noise_gating():
+    sched = DDPMScheduler(SchedulerConfig())
+    state = sched.set_timesteps(50)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    a = sched.step(state, eps, 0, x, key=jax.random.PRNGKey(0))
+    b = sched.step(state, eps, 0, x, key=jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+    # t=0 injects no noise (t > 0 gate)
+    # find the index where timestep == smallest
+    i_last = 49
+    la = sched.step(state, eps, i_last, x, key=jax.random.PRNGKey(0))
+    lb = sched.step(state, eps, i_last, x, key=jax.random.PRNGKey(1))
+    t_last = int(state.timesteps[i_last])
+    if t_last == 0:
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
