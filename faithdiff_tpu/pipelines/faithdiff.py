@@ -83,6 +83,9 @@ class FaithDiffPipeline:
     # cap on tiles per UNet call (memory bound for 8K-class inputs); must be
     # a multiple of tile_devices when both are set
     tile_chunk: Optional[int] = None
+    # above this tile count, drive the denoise loop one step per device
+    # dispatch (long single dispatches get killed by the device tunnel)
+    host_loop_tile_threshold: int = 16
 
     # ------------------------------------------------------------------
     # jitted core
@@ -141,7 +144,12 @@ class FaithDiffPipeline:
         add_sample: bool,
         pad_tiles: int,
         tile_chunk: Optional[int] = None,
+        step_indices: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """`step_indices` (dynamic values, static length) selects which
+        scheduler steps to run; None -> all `num_steps` in one scan. Large
+        tile counts are driven per-step from the host so a single device
+        dispatch stays short (the device tunnel kills long dispatches)."""
         sched = self.scheduler
         state = sched.set_timesteps(num_steps)
         t_count = layout.num_tiles
@@ -207,7 +215,9 @@ class FaithDiffPipeline:
             return latents, ()
 
         latents, _ = jax.lax.scan(
-            step_fn, latents, jnp.arange(num_steps), unroll=1
+            step_fn, latents,
+            jnp.arange(num_steps) if step_indices is None else step_indices,
+            unroll=1
         )
         return latents
 
@@ -333,12 +343,20 @@ class FaithDiffPipeline:
             image_latent_tiles = jax.device_put(
                 image_latent_tiles, self.tile_sharding)
 
-        latents = self._jit_denoise(
+        common_args = (
             self.unet_params, latents, image_latent_tiles, embeds, pooled,
             jnp.asarray(base_time_ids), layout, num_inference_steps,
             float(guidance_scale), float(guidance_rescale), bool(add_sample),
             pad_tiles, self.tile_chunk,
         )
+        if layout.num_tiles > self.host_loop_tile_threshold:
+            # per-step dispatches (dynamic step index, one compile)
+            for i in range(num_inference_steps):
+                args = (common_args[0], latents) + common_args[2:]
+                latents = self._jit_denoise(
+                    *args, step_indices=jnp.asarray([i]))
+        else:
+            latents = self._jit_denoise(*common_args)
 
         if output_type == "latent":
             return latents

@@ -160,3 +160,26 @@ def test_hdr_effect():
     out = create_hdr_effect(img, 0.7)
     assert out.shape == img.shape and out.dtype == np.uint8
     assert np.abs(out.astype(int) - img.astype(int)).mean() > 1  # did something
+
+
+def test_pipeline_host_loop_matches_scan():
+    """Per-step host-driven dispatches (large-tile-count path) must produce
+    identical latents to the single-scan path."""
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(14).random((96, 96, 3)).astype(np.float32)
+
+    pipe_scan = build_tiny_pipeline()
+    pipe_host = build_tiny_pipeline()
+    pipe_host.unet_params = pipe_scan.unet_params
+    pipe_host.vae_params = pipe_scan.vae_params
+    pipe_host.denoise_encoder_params = pipe_scan.denoise_encoder_params
+    pipe_host.host_loop_tile_threshold = 0  # force per-step dispatch
+
+    a = pipe_scan(img, pe, pooled, num_inference_steps=3, seed=2,
+                  output_type="latent")
+    b = pipe_host(img, pe, pooled, num_inference_steps=3, seed=2,
+                  output_type="latent")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
