@@ -43,7 +43,7 @@ def main(scenarios=("1024",)):
                 use_tiled_vae=size >= 4096,
             ),
             dtype=dtype,
-            tile_chunk=4,
+            tile_chunk=2 if size >= 4096 else 4,
         )
         rng = np.random.default_rng(0)
         img = rng.random((size, size, 3)).astype(np.float32)

@@ -117,12 +117,15 @@ class FaithDiffPipeline:
         return latents / self.vae_scaling_factor
 
     def _finish(self, image_out, src, color_fix: str):
-        image_out = denormalize_from_diffusion(image_out).astype(jnp.float32)
+        # keep the color transfer in the decode dtype (bf16 on TPU): fp32
+        # doubles ~10 full-resolution buffers and OOMs at 4K+
+        image_out = denormalize_from_diffusion(image_out)
+        src = src.astype(image_out.dtype)
         if color_fix == "wavelet":
             image_out = wavelet_color_fix(image_out, src)
         elif color_fix == "adain":
             image_out = adain_color_fix(image_out, src)
-        return image_out
+        return image_out.astype(jnp.float32)
 
     def _postprocess(self, vae_params, latents, src, color_fix: str):
         latents = self._denormalize_latents(latents)
@@ -357,6 +360,9 @@ class FaithDiffPipeline:
                     *args, step_indices=jnp.asarray([i]))
         else:
             latents = self._jit_denoise(*common_args)
+
+        # free the LQ-feature tiles before decode (870 MB at 4K-class sizes)
+        del common_args, image_latent_tiles
 
         if output_type == "latent":
             return latents
