@@ -189,6 +189,80 @@ def cmd_caption(argv):
         print(f"{name}: {caption[:80]}")
 
 
+def cmd_embed(argv):
+    """Precompute stem-keyed prompt embeddings for training, including the
+    mandatory null-prompt embedding consumed by caption dropout
+    (reference flow: `Realesrgan_offline_dataset.py:231-261` tokenizes the
+    dropped caption to the null ids; we precompute its embedding once)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import CLIPTextConfig
+    from .models.clip_text import SDXLTextEncoder
+    from .training.text_embeds import precompute_embeds
+
+    p = argparse.ArgumentParser("embed")
+    p.add_argument("--caption_dir", required=True,
+                   help=".txt or .json caption files, one per sample stem")
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--tokenizer_dir", default=None,
+                   help="dir with tokenizer/ tokenizer_2/; omit for the "
+                        "hash tokenizer (smoke runs only)")
+    p.add_argument("--text_encoder_dir", default=None,
+                   help="converted SDXL text-tower params; omit for random "
+                        "init (smoke runs only)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny text towers (CI smoke runs)")
+    p.add_argument("--no_trim", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.tokenizer_dir:
+        from .models.tokenizer import SDXLTokenizer
+
+        tok = SDXLTokenizer(os.path.join(args.tokenizer_dir, "tokenizer"),
+                            os.path.join(args.tokenizer_dir, "tokenizer_2"))
+    else:
+        from .models.tokenizer import HashTokenizer
+
+        print("WARNING: no --tokenizer_dir; using the hash tokenizer "
+              "(smoke runs only)")
+        tok = HashTokenizer(vocab_size=128 if args.tiny else 49408)
+
+    if args.tiny:
+        tiny = CLIPTextConfig(vocab_size=128, hidden_size=32,
+                              intermediate_size=64, num_hidden_layers=2,
+                              num_attention_heads=4)
+        tiny2 = CLIPTextConfig(vocab_size=128, hidden_size=32,
+                               intermediate_size=64, num_hidden_layers=2,
+                               num_attention_heads=4, projection_dim=64)
+        enc = SDXLTextEncoder(config_1=tiny, config_2=tiny2)
+    else:
+        enc = SDXLTextEncoder(dtype=jnp.bfloat16)
+
+    if args.text_encoder_dir:
+        from .training.checkpoint import load_params
+
+        params = {"params": load_params(args.text_encoder_dir)}
+    else:
+        print("WARNING: no --text_encoder_dir; random-init towers "
+              "(smoke runs only)")
+        ids = tok("probe")
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids[0]),
+                          jnp.asarray(ids[1]))
+
+    apply = jax.jit(enc.apply)
+
+    def encode(ids_1, ids_2):
+        return apply(params, jnp.asarray(ids_1), jnp.asarray(ids_2))
+
+    files = sorted(sum([glob.glob(os.path.join(args.caption_dir, e))
+                        for e in ("*.txt", "*.json")], []))
+    n = precompute_embeds(files, args.save_dir, tok, encode,
+                          trim=not args.no_trim)
+    print(f"wrote {n} embedding files to {args.save_dir} "
+          f"(incl. the null-prompt embedding)")
+
+
 def cmd_train(argv):
     from .training.runner import main as train_main
 
@@ -204,6 +278,7 @@ def cmd_metrics(argv):
 COMMANDS = {
     "restore": cmd_restore,
     "caption": cmd_caption,
+    "embed": cmd_embed,
     "train": cmd_train,
     "metrics": cmd_metrics,
 }

@@ -43,6 +43,35 @@ class SDXLTokenizer:
         return out[0], out[1]
 
 
+class HashTokenizer:
+    """Deterministic word-hash tokenizer for checkpoint-free smoke runs and
+    tests (NOT CLIP BPE — real runs load `SDXLTokenizer` from local vocab
+    files). Empty prompt -> [BOS, EOS, EOS, ...], mirroring CLIP padding,
+    so the null-prompt path is exercised end-to-end without downloads."""
+
+    def __init__(self, vocab_size: int = 49408, max_len: int = _MAX_LEN):
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def _encode_one(self, prompt: str) -> np.ndarray:
+        import zlib
+
+        bos = min(_BOS, self.vocab_size - 2)
+        eos = min(_EOS, self.vocab_size - 1)
+        ids = [bos]
+        for w in prompt.split()[: self.max_len - 2]:
+            ids.append(zlib.crc32(w.encode()) % max(self.vocab_size - 3, 1) + 1)
+        ids.append(eos)
+        ids += [eos] * (self.max_len - len(ids))
+        return np.asarray(ids, np.int32)
+
+    def __call__(self, prompts) -> Tuple[np.ndarray, np.ndarray]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        ids = np.stack([self._encode_one(p) for p in prompts])
+        return ids, ids
+
+
 def pad_token_ids(prompt_ids: np.ndarray) -> np.ndarray:
     """[B, <=77] -> [B, 77] padded with EOS (CLIP pad == eos)."""
     b, s = prompt_ids.shape

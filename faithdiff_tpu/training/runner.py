@@ -81,31 +81,54 @@ def _synthetic_batches(batch_size: int, res: int, cross_dim: int,
         }
 
 
-def _dataset_batches(args, cross_dim, pooled_dim) -> Iterator[dict]:
+def _make_embed_provider(args, cross_dim, pooled_dim):
+    """Choose the prompt-embedding source (stem-keyed precomputed dir, live
+    text towers, or zeros). Caption dropout reaches the UNet in every mode:
+    a dropped caption ("") maps to the null-prompt embedding."""
+    from .text_embeds import PromptEmbedProvider
+
+    if args.embeds_dir:
+        return PromptEmbedProvider.from_dir(args.embeds_dir)
+    if args.text_encoder_dir and args.tokenizer_dir:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from ..models.clip_text import SDXLTextEncoder
+        from ..models.tokenizer import SDXLTokenizer
+        from .checkpoint import load_params
+
+        tok = SDXLTokenizer(
+            os.path.join(args.tokenizer_dir, "tokenizer"),
+            os.path.join(args.tokenizer_dir, "tokenizer_2"))
+        enc = SDXLTextEncoder(dtype=_jnp.bfloat16)
+        params = {"params": load_params(args.text_encoder_dir)}
+        apply = _jax.jit(enc.apply)
+
+        def encode(ids_1, ids_2):
+            return apply(params, _jnp.asarray(ids_1), _jnp.asarray(ids_2))
+
+        return PromptEmbedProvider.from_towers(tok, encode)
+    return PromptEmbedProvider.zeros(cross_dim, pooled_dim)
+
+
+def _dataset_batches(args, cross_dim, pooled_dim,
+                     provider=None) -> Iterator[dict]:
     from ..data.dataset import LocalPairedDataset, collate, discover_pairs
 
     hr, lr, caps = discover_pairs(args.hr_dir, args.lr_dir, args.caption_dir)
     ds = LocalPairedDataset(hr, lr, caps, resolution=args.resolution,
                             seed=args.seed)
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in hr]
+    provider = provider or _make_embed_provider(args, cross_dim, pooled_dim)
     rng = np.random.default_rng(args.seed)
     n = len(ds)
     while True:
         idx = rng.integers(0, n, args.train_batch_size)
         samples = [ds[int(i)] for i in idx]
         batch = collate(samples)
-        if args.embeds_dir:
-            embeds, pooled = [], []
-            for i in idx:
-                z = np.load(os.path.join(args.embeds_dir, f"{int(i)}.npz"))
-                embeds.append(z["prompt_embeds"])
-                pooled.append(z["pooled_embeds"])
-            batch["prompt_embeds"] = np.stack(embeds)
-            batch["pooled_embeds"] = np.stack(pooled)
-        else:
-            b = len(samples)
-            batch["prompt_embeds"] = np.zeros((b, 77, cross_dim), np.float32)
-            batch["pooled_embeds"] = np.zeros((b, pooled_dim), np.float32)
-        batch.pop("captions")
+        captions = batch.pop("captions")
+        batch["prompt_embeds"], batch["pooled_embeds"] = provider.batch(
+            [stems[int(i)] for i in idx], captions)
         yield batch
 
 
