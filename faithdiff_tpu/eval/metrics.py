@@ -1,13 +1,15 @@
 """IQA metric harness.
 
 Capability-equivalent to `/root/reference/test_metrics.py` (pyiqa-based):
-full-reference PSNR / SSIM implemented natively in JAX (bit-checked against
-the standard definitions), plus directory-level harness with per-image
-logging and averages. Learned metrics (LPIPS, DISTS, NIQE, MUSIQ, MANIQA,
-CLIPIQA+, PAQ2PIQ, FID) need pretrained nets: when `pyiqa` + torch weights
-are available they are used via the optional passthrough, otherwise those
-columns are skipped — the harness structure and protocol (RealDeg, per-image
-log + mean) match the reference either way.
+- PSNR / SSIM natively in JAX
+- NIQE natively (eval/niqe.py; pristine params fit via --fit_niqe_dir)
+- directory-level FID natively (eval/fid.py InceptionV3, weights-gated)
+- LPIPS / DISTS / MUSIQ / MANIQA / CLIPIQA+ / PAQ2PIQ via the optional
+  pyiqa passthrough when installed
+
+Every metric of the reference protocol appears in the output either with a
+value or an explicit `UNAVAILABLE: <reason>` line — a missing-dependency
+run is loudly distinguishable from a passing one.
 """
 from __future__ import annotations
 
@@ -113,18 +115,67 @@ def make_learned_metrics(names=_LEARNED, device: str = "cpu") -> Dict[str, objec
 # directory harness (test_metrics.py:127-141,195-227 protocol)
 # ---------------------------------------------------------------------------
 
+# every metric of the reference protocol (`test_metrics.py:127-141,195-227`)
+# must be accounted for in the output: a value or an explicit UNAVAILABLE
+REFERENCE_METRICS = ("psnr", "ssim", "lpips", "dists", "niqe", "musiq",
+                     "maniqa-pipal", "clipiqa+_vitL14_512", "paq2piq", "fid")
+
+
+def metric_availability(
+    learned: Dict[str, object], niqe_fn, fid_fn, has_gt: bool,
+) -> Dict[str, str]:
+    """For each reference metric: 'native', 'pyiqa', or the reason it is
+    unavailable. The harness NEVER silently drops a reference metric."""
+    avail: Dict[str, str] = {}
+    for m in REFERENCE_METRICS:
+        if m in ("psnr", "ssim"):
+            avail[m] = ("native" if has_gt
+                        else "UNAVAILABLE: full-reference metric needs --gt_dir")
+        elif m in learned:
+            avail[m] = "pyiqa"
+        elif m == "niqe":
+            avail[m] = ("native" if niqe_fn is not None else
+                        "UNAVAILABLE: no pristine params "
+                        "(fit with --fit_niqe_dir or install pyiqa weights)")
+        elif m == "fid":
+            if fid_fn is None:
+                avail[m] = ("UNAVAILABLE: no InceptionV3 weights "
+                            "(eval/inception_v3_fid.npz or .pth)")
+            elif not has_gt:
+                avail[m] = "UNAVAILABLE: directory-level FID needs --gt_dir"
+            else:
+                avail[m] = "native"
+        elif m in ("lpips", "dists") and not has_gt:
+            avail[m] = "UNAVAILABLE: full-reference metric needs --gt_dir"
+        else:
+            avail[m] = "UNAVAILABLE: needs pyiqa + pretrained weights"
+    return avail
+
+
 def evaluate_dirs(
     sr_dir: str,
     gt_dir: Optional[str] = None,
     log_path: Optional[str] = None,
     use_learned: bool = True,
+    niqe_params: Optional[str] = None,
+    fid_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     from PIL import Image
+
+    from .fid import fid_from_features, make_fid_features
+    from .niqe import make_niqe_metric
 
     sr_paths = sorted(sum([glob.glob(os.path.join(sr_dir, e))
                            for e in ("*.png", "*.jpg", "*.jpeg")], []))
     learned = make_learned_metrics() if use_learned else {}
+    niqe_fn = make_niqe_metric(niqe_params)
+    fid_fn = make_fid_features(fid_weights)
+    avail = metric_availability(learned, niqe_fn, fid_fn, gt_dir is not None)
+    for m, status in sorted(avail.items()):
+        print(f"[metric] {m}: {status}")
     rows: List[Dict[str, float]] = []
+    sr_images: List[np.ndarray] = []
+    gt_images: List[np.ndarray] = []
     log_f = open(log_path, "w") if log_path else None
     for path in sr_paths:
         name = os.path.basename(path)
@@ -143,6 +194,11 @@ def evaluate_dirs(
                 row["psnr"] = float(psnr(jnp.asarray(sr), jnp.asarray(gt)))
                 row["ssim"] = float(ssim(jnp.asarray(sr), jnp.asarray(gt)))
         t0 = time.time()
+        if niqe_fn is not None and "niqe" not in learned:
+            try:
+                row["niqe"] = niqe_fn(sr)
+            except ValueError:
+                pass  # image smaller than the NIQE patch
         for mname, fn in learned.items():
             try:
                 needs_ref = mname in ("lpips", "dists")
@@ -152,6 +208,9 @@ def evaluate_dirs(
             except Exception:
                 pass
         row["runtime_s"] = time.time() - t0
+        if fid_fn is not None and gt is not None:
+            sr_images.append(sr)
+            gt_images.append(gt)
         rows.append(row)
         line = f"{name}: " + " ".join(
             f"{k}={v:.4f}" for k, v in row.items())
@@ -164,21 +223,56 @@ def evaluate_dirs(
         vals = [r[k] for r in rows if k in r]
         if vals:
             means[k] = float(np.mean(vals))
+    # directory-level FID (`test_metrics.py:195-227`)
+    if fid_fn is not None and sr_images and gt_images:
+        from .fid import fid_from_features
+
+        means["fid"] = fid_from_features(fid_fn(sr_images),
+                                         fid_fn(gt_images))
     summary = "MEAN: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
+    unavailable = {m: s for m, s in avail.items()
+                   if s.startswith("UNAVAILABLE")}
+    for m, s in sorted(unavailable.items()):
+        summary += f"\n{m}: {s}"
     print(summary)
     if log_f:
         log_f.write(summary + "\n")
         log_f.close()
+    means["_unavailable"] = unavailable
     return means
 
 
 def main(argv=None):
     p = argparse.ArgumentParser("metrics")
-    p.add_argument("--sr_dir", required=True)
+    p.add_argument("--sr_dir", default=None,
+                   help="required unless --fit_niqe_dir is given")
     p.add_argument("--gt_dir", default=None)
     p.add_argument("--log", default=None)
     p.add_argument("--no_learned", action="store_true")
+    p.add_argument("--niqe_params", default=None,
+                   help="pristine-corpus npz (see --fit_niqe_dir)")
+    p.add_argument("--fid_weights", default=None,
+                   help="converted InceptionV3 weights (npz or torch pth)")
+    p.add_argument("--fit_niqe_dir", default=None,
+                   help="fit NIQE pristine params from this image dir, save "
+                        "to --niqe_params, then exit")
     args = p.parse_args(argv)
+    if args.fit_niqe_dir:
+        from PIL import Image
+
+        from .niqe import DEFAULT_PARAMS_PATH, fit_niqe_params
+
+        paths = sorted(sum([glob.glob(os.path.join(args.fit_niqe_dir, e))
+                            for e in ("*.png", "*.jpg", "*.jpeg")], []))
+        images = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+        out = args.niqe_params or DEFAULT_PARAMS_PATH
+        fit_niqe_params(images, save_path=out)
+        print(f"fitted NIQE pristine params from {len(images)} images -> {out}")
+        return
+    if not args.sr_dir:
+        p.error("--sr_dir is required unless --fit_niqe_dir is given")
     means = evaluate_dirs(args.sr_dir, args.gt_dir, args.log,
-                          use_learned=not args.no_learned)
+                          use_learned=not args.no_learned,
+                          niqe_params=args.niqe_params,
+                          fid_weights=args.fid_weights)
     print(json.dumps(means))
