@@ -34,8 +34,16 @@ def main(scenarios=("1024",)):
     pe = jnp.zeros((1, 77, 2048), jnp.float32)
     pooled = jnp.zeros((1, 1280), jnp.float32)
 
+    pipe = None
     for scen in scenarios:
         size = int(scen)
+        # free the previous pipeline's 5.2 GB of bf16 params BEFORE building
+        # the next one — two live pipelines exceed one chip's HBM
+        if pipe is not None:
+            del pipe
+            import gc
+
+            gc.collect()
         pipe = build_pipeline(
             pipeline_config=PipelineConfig(
                 num_inference_steps=20,

@@ -56,13 +56,17 @@ class CaptionAgent:
 
     @staticmethod
     def from_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16,
-                        load_8bit: bool = True) -> "CaptionAgent":
+                        load_8bit: bool = True,
+                        load_4bit: bool = False) -> "CaptionAgent":
         """Load converted params + tokenizer from a local directory
         (layout: llama/ vision/ projector/ tokenizer/).
 
-        load_8bit quantises the LM projections to int8 weight-only — the
-        default, since LLaVA-13B bf16 weights (26 GB) exceed one v5e chip's
-        HBM (the reference's `--load_8bit_llava`, `test.py:44`)."""
+        load_8bit quantises the LM projections to int8 weight-only;
+        load_4bit to blockwise nf4 (takes precedence, mirroring the
+        reference builder's `load_4bit` branch,
+        `llava/model/builder.py:29-38`). One of them is required in
+        practice: LLaVA-13B bf16 weights (26 GB) exceed one v5e chip's HBM
+        (int8 13 GB, nf4 6.6 GB)."""
         import dataclasses as _dc
 
         from transformers import AutoTokenizer
@@ -70,13 +74,14 @@ class CaptionAgent:
         from ..training.checkpoint import load_params
         from .llama import quantize_llama_params
 
-        llama_cfg = _dc.replace(LlamaConfig.llava_13b(), quantized=load_8bit)
+        quant = "nf4" if load_4bit else ("int8" if load_8bit else "")
+        llama_cfg = _dc.replace(LlamaConfig.llava_13b(), quant=quant)
         llama = LlamaForCausalLM(llama_cfg, dtype=dtype)
         vision = CLIPVisionTower(CLIPVisionConfig(), dtype=dtype)
         projector = VisionProjector(llama_cfg.hidden_size, dtype=dtype)
         llama_tree = load_params(os.path.join(ckpt_dir, "llama"))
-        if load_8bit:
-            llama_tree = quantize_llama_params(llama_tree)
+        if quant:
+            llama_tree = quantize_llama_params(llama_tree, mode=quant)
         return CaptionAgent(
             llama=llama,
             llama_params={"params": llama_tree},
@@ -95,10 +100,17 @@ class CaptionAgent:
             method=LlamaForCausalLM.embed)
 
     def build_multimodal_embeds(
-        self, image: np.ndarray, question: str = DEFAULT_QUESTION
+        self, images, question: str = DEFAULT_QUESTION
     ) -> jax.Array:
         """Tokenise around the image slot and splice projected image patches
-        (`llava/model/llava_arch.py:145-324` splice semantics, batch 1)."""
+        (`llava/model/llava_arch.py:145-324` splice semantics).
+
+        `images`: one HWC array or a list of them — all samples share the
+        prompt and the fixed 576-patch image slot, so the batch stacks
+        without padding (the reference's batched `gen_image_caption`,
+        `llava/llm_agent.py:66-103`)."""
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
         pre, post = build_vicuna_prompt(question)
         pre_ids = np.asarray(
             self.tokenizer(pre, return_tensors="np").input_ids, np.int32)
@@ -106,25 +118,51 @@ class CaptionAgent:
             self.tokenizer(post, add_special_tokens=False,
                            return_tensors="np").input_ids, np.int32)
 
-        pixel = preprocess_clip_image(image, self.vision.config.image_size)
+        pixel = np.concatenate([
+            preprocess_clip_image(im, self.vision.config.image_size)
+            for im in images])
         feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
         img_embeds = self.projector.apply(self.projector_params, feats)
 
-        pre_e = self._embed_ids(pre_ids)
-        post_e = self._embed_ids(post_ids)
+        n = len(images)
+        pre_e = jnp.tile(self._embed_ids(pre_ids), (n, 1, 1))
+        post_e = jnp.tile(self._embed_ids(post_ids), (n, 1, 1))
         return jnp.concatenate(
             [pre_e, img_embeds.astype(pre_e.dtype), post_e], axis=1)
 
-    def caption(self, image: np.ndarray,
-                question: str = DEFAULT_QUESTION, seed: int = 0) -> str:
-        embeds = self.build_multimodal_embeds(image, question)
+    def _stop_sequences(self):
+        """Keyword stopping on the conversation separator (the reference's
+        KeywordsStoppingCriteria over `conv.sep2` == '</s>',
+        `llava/mm_utils.py:216-247`) in addition to the eos id."""
+        seqs = []
+        for kw in ("</s>",):
+            ids = np.asarray(
+                self.tokenizer(kw, add_special_tokens=False).input_ids
+            ).ravel()
+            if ids.size:
+                seqs.append(tuple(int(t) for t in ids))
+        return tuple(seqs)
+
+    def caption_batch(self, images, question: str = DEFAULT_QUESTION,
+                      seed: int = 0) -> List[str]:
+        """Caption several images in one batched generate (per-sample
+        lengths; finished samples pad with eos)."""
+        embeds = self.build_multimodal_embeds(images, question)
         result = greedy_generate(
             self.llama, self.llama_params, embeds,
             max_new_tokens=self.max_new_tokens,
             eos_token_id=int(self.tokenizer.eos_token_id or 2),
             temperature=self.temperature, top_p=self.top_p,
             key=jax.random.PRNGKey(seed),
+            stop_sequences=self._stop_sequences(),
         )
-        ids = np.asarray(result.tokens[0][: int(result.lengths[0])])
-        text = self.tokenizer.decode(ids, skip_special_tokens=True)
-        return text.strip()
+        out = []
+        for bi in range(result.tokens.shape[0]):
+            ids = np.asarray(result.tokens[bi][: int(result.lengths[bi])])
+            out.append(self.tokenizer.decode(
+                ids, skip_special_tokens=True).strip())
+        return out
+
+    def caption(self, image: np.ndarray,
+                question: str = DEFAULT_QUESTION, seed: int = 0) -> str:
+        return self.caption_batch([image], question, seed)[0]

@@ -34,10 +34,16 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
-    # int8 weight-only projections (the reference's `load_8bit` bitsandbytes
-    # path, `llava/model/builder.py:29-38`): required to fit LLaVA-13B in
-    # one v5e chip's 16 GB HBM (bf16 weights alone are 26 GB)
-    quantized: bool = False
+    # weight-only quantized projections, mirroring the reference's
+    # bitsandbytes paths (`llava/model/builder.py:29-38`): "int8"
+    # (`load_8bit`) or "nf4" (`load_4bit`). Required to fit LLaVA-13B in one
+    # v5e chip's 16 GB HBM (bf16 weights alone are 26 GB; int8 13 GB,
+    # nf4 6.6 GB).
+    quant: str = ""           # "" | "int8" | "nf4"
+
+    @property
+    def quantized(self) -> bool:
+        return bool(self.quant)
 
     @staticmethod
     def llava_13b() -> "LlamaConfig":
@@ -71,9 +77,36 @@ class Int8Dense(nn.Module):
         return (y * scales).astype(self.dtype)
 
 
-def _proj(quantized: bool, features: int, dtype, name: str):
-    if quantized:
+class NF4Dense(nn.Module):
+    """Weight-only NF4 linear: blockwise 4-bit codes dequantised into the
+    matmul prologue (the reference's `load_4bit` bitsandbytes path)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    block_size: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        from ..utils.quantize import NF4Weight, nf4_matmul
+
+        in_features = x.shape[-1]
+        n = in_features * self.features
+        n_blocks = n // self.block_size
+        packed = self.param("packed", nn.initializers.zeros,
+                            (n_blocks, self.block_size // 2), jnp.uint8)
+        absmax = self.param("absmax", nn.initializers.ones, (n_blocks,),
+                            jnp.float32)
+        q = NF4Weight(packed=packed, absmax=absmax,
+                      shape=(in_features, self.features))
+        return nf4_matmul(x, q, self.dtype)
+
+
+def _proj(quant, features: int, dtype, name: str):
+    # bool kept for backward compatibility (True == int8)
+    if quant in ("int8", True):
         return Int8Dense(features, dtype=dtype, name=name)
+    if quant == "nf4":
+        return NF4Dense(features, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=False, dtype=dtype,
                     param_dtype=jnp.float32, name=name)
 
@@ -117,7 +150,7 @@ class LlamaAttention(nn.Module):
         kv_heads = cfg.num_key_value_heads
         hd = d // heads
         dense = lambda n, feats: _proj(  # noqa: E731
-            cfg.quantized, feats, self.dtype, n)
+            cfg.quant, feats, self.dtype, n)
         b, s, _ = x.shape
         q = dense("q_proj", heads * hd)(x).reshape(b, s, heads, hd)
         k = dense("k_proj", kv_heads * hd)(x).reshape(b, s, kv_heads, hd)
@@ -178,11 +211,11 @@ class LlamaLayer(nn.Module):
                 h, positions, kv_cache, cache_index, attn_len)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
-        gate = _proj(cfg.quantized, cfg.intermediate_size, self.dtype,
+        gate = _proj(cfg.quant, cfg.intermediate_size, self.dtype,
                      "gate_proj")(h)
-        up = _proj(cfg.quantized, cfg.intermediate_size, self.dtype,
+        up = _proj(cfg.quant, cfg.intermediate_size, self.dtype,
                    "up_proj")(h)
-        down = _proj(cfg.quantized, cfg.hidden_size, self.dtype,
+        down = _proj(cfg.quant, cfg.hidden_size, self.dtype,
                      "down_proj")(jax.nn.silu(gate) * up)
         return x + down, new_cache
 
@@ -218,7 +251,11 @@ class LlamaForCausalLM(nn.Module):
         self.embed_tokens = nn.Embed(
             self.config.vocab_size, self.config.hidden_size,
             param_dtype=jnp.float32, dtype=self.dtype, name="embed_tokens")
-        self.lm_head = _proj(self.config.quantized, self.config.vocab_size,
+        # transformers' load_in_4bit keeps lm_head at full precision
+        # (bitsandbytes skip-modules default); int8 quantizes it like our
+        # round-1 path
+        head_quant = "" if self.config.quant == "nf4" else self.config.quant
+        self.lm_head = _proj(head_quant, self.config.vocab_size,
                              self.dtype, "lm_head")
 
     def embed(self, input_ids):
@@ -260,12 +297,18 @@ def greedy_generate(
     temperature: float = 0.0,
     top_p: float = 1.0,
     key: Optional[jax.Array] = None,
+    stop_sequences: Optional[Tuple[Tuple[int, ...], ...]] = None,
 ) -> GenerateResult:
     """Prefill + autoregressive decode with a static-shape KV cache.
 
     temperature<=0 -> greedy; otherwise top-p nucleus sampling with
     `jax.random` (the reference samples at temp 0.2 / top-p 0.7,
-    `llava/llm_agent.py:85-94`)."""
+    `llava/llm_agent.py:85-94`).
+
+    `stop_sequences`: per-sample generation stops when its newest tokens
+    match any sequence (the reference's `KeywordsStoppingCriteria`,
+    `llava/mm_utils.py:216-247`; the keyword tokens are excluded from
+    `lengths` like the reference strips the separator)."""
     cfg = model.config
     b, s, _ = prompt_embeds.shape
     max_len = s + max_new_tokens
@@ -316,20 +359,51 @@ def greedy_generate(
     first = sample(next_logits, sub)
     done0 = first == eos_token_id
 
-    tokens = [first]
+    stop_seqs = tuple(tuple(int(t) for t in s)
+                      for s in (stop_sequences or ()) if len(s))
+    max_stop = max((len(s) for s in stop_seqs), default=0)
+    host_tokens = np.full((b, max_new_tokens), eos_token_id, np.int64)
+    stop_lengths = np.full((b,), max_new_tokens + 1, np.int64)
+
+    def keyword_hits(step: int, done_np: np.ndarray) -> np.ndarray:
+        """Mark samples whose newest tokens complete a stop sequence;
+        record the keyword-free length."""
+        hit = np.zeros((b,), bool)
+        for bi in range(b):
+            if done_np[bi]:
+                continue
+            for seq in stop_seqs:
+                ln = len(seq)
+                if step + 1 >= ln and tuple(
+                        host_tokens[bi, step + 1 - ln: step + 1]) == seq:
+                    hit[bi] = True
+                    stop_lengths[bi] = min(stop_lengths[bi], step + 1 - ln)
+                    break
+        return hit
+
     state = (jnp.asarray(0), first, caches, next_logits[:, None], done0, key)
-    # static python loop over decode steps keeps this jit-friendly per call;
-    # a lax.while_loop variant is used by the jitted agent path
+    # host-driven python loop over decode steps (each step is one jitted
+    # dispatch; early exit when every sample is done)
     out_tokens = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
     out_tokens = out_tokens.at[:, 0].set(first)
     i, tok, caches, _, done, key = state
+    if stop_seqs:
+        host_tokens[:, 0] = np.asarray(first)
+        done = jnp.logical_or(done, jnp.asarray(keyword_hits(0, np.zeros(b, bool))))
     lengths = jnp.ones((b,), jnp.int32)
     for step in range(1, max_new_tokens):
         if bool(jnp.all(done)):
             break
+        prev_done = np.asarray(done)
         i, tok, caches, _, done, key = body((i, tok, caches, None, done, key))
         out_tokens = out_tokens.at[:, step].set(tok)
+        if stop_seqs:
+            host_tokens[:, step] = np.asarray(tok)
+            done = jnp.logical_or(done,
+                                  jnp.asarray(keyword_hits(step, prev_done)))
         lengths = lengths + (~done).astype(jnp.int32)
+    if stop_seqs:
+        lengths = jnp.minimum(lengths, jnp.asarray(stop_lengths, jnp.int32))
     return GenerateResult(tokens=out_tokens, lengths=lengths)
 
 
@@ -337,16 +411,24 @@ _QUANT_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
                      "gate_proj", "up_proj", "down_proj", "lm_head")
 
 
-def quantize_llama_params(params):
-    """fp param tree -> int8 weight-only tree matching `quantized=True`
-    module structure (Dense kernel [in, out] -> {values int8, scales f32})."""
-    import numpy as np
+def quantize_llama_params(params, mode: str = "int8"):
+    """fp param tree -> weight-only quantized tree matching the
+    `quant="int8"` / `quant="nf4"` module structures.
 
-    from ..utils.quantize import quantize_int8
+    int8: Dense kernel [in, out] -> {values int8, scales f32[out]}
+    nf4:  Dense kernel [in, out] -> {packed u8[blocks, 32], absmax f32}
+    (the reference's load_8bit / load_4bit, `llava/model/builder.py:29-38`)
+    """
+    from ..utils.quantize import quantize_int8, quantize_nf4
 
     def walk(node, name=""):
         if isinstance(node, dict):
             if name in _QUANT_PROJ_NAMES and set(node) == {"kernel"}:
+                if mode == "nf4":
+                    if name == "lm_head":   # kept full precision (see setup)
+                        return node
+                    q = quantize_nf4(jnp.asarray(node["kernel"]))
+                    return {"packed": q.packed, "absmax": q.absmax}
                 q = quantize_int8(jnp.asarray(node["kernel"]))
                 return {"values": q.values, "scales": q.scales}
             return {k: walk(v, k) for k, v in node.items()}

@@ -77,6 +77,67 @@ def int8_matmul(x: jax.Array, w: Int8Weight,
 
 
 # ---------------------------------------------------------------------------
+# nf4 4-bit blockwise quantization (bitsandbytes NormalFloat4 semantics,
+# the reference's `load_4bit` captioner path, `llava/model/builder.py:29-38`)
+# ---------------------------------------------------------------------------
+
+# the 16 NF4 levels: quantiles of N(0, 1) normalised to [-1, 1]
+# (Dettmers et al., "QLoRA", Table A.1 / bitsandbytes functional.py)
+NF4_CODE = jnp.asarray([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], jnp.float32)
+
+
+class NF4Weight(NamedTuple):
+    """Blockwise NF4 matrix: packed 4-bit codes + per-block absmax."""
+
+    packed: jax.Array    # uint8 [n_blocks, block_size // 2] (two codes/byte)
+    absmax: jax.Array    # f32 [n_blocks]
+    shape: Tuple[int, int]
+
+
+def quantize_nf4(w: jax.Array, block_size: int = 64) -> NF4Weight:
+    """[in, out] float -> blockwise NF4. Blocks run along the INPUT axis of
+    each output channel (bitsandbytes flattens the torch [out, in] matrix
+    row-major), so a block never mixes output channels of different
+    magnitude — mixing them measurably hurts accuracy."""
+    shape = tuple(w.shape)
+    flat = w.astype(jnp.float32).T.reshape(-1)    # [out, in] row-major
+    assert flat.size % block_size == 0, (flat.size, block_size)
+    blocks = flat.reshape(-1, block_size)
+    absmax = jnp.maximum(jnp.max(jnp.abs(blocks), axis=1), 1e-12)
+    normed = blocks / absmax[:, None]
+    idx = jnp.argmin(
+        jnp.abs(normed[..., None] - NF4_CODE[None, None, :]), axis=-1
+    ).astype(jnp.uint8)
+    hi, lo = idx[:, 0::2], idx[:, 1::2]
+    packed = (hi << 4) | lo
+    return NF4Weight(packed=packed, absmax=absmax, shape=shape)
+
+
+def dequantize_nf4(q: NF4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    hi = (q.packed >> 4).astype(jnp.int32)
+    lo = (q.packed & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=-1).reshape(q.packed.shape[0], -1)
+    vals = NF4_CODE[idx] * q.absmax[:, None]
+    out_f, in_f = q.shape[1], q.shape[0]
+    return vals.reshape(out_f, in_f).T.astype(dtype)
+
+
+def nf4_matmul(x: jax.Array, q: NF4Weight,
+               compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Weight-only NF4 matmul: dequantise (fused by XLA into the matmul
+    prologue) then bf16 MXU matmul."""
+    w = dequantize_nf4(q, compute_dtype)
+    return jnp.dot(x.astype(compute_dtype), w,
+                   preferred_element_type=jnp.float32).astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
 # checkpoint delta utilities
 # (`/root/reference/llava/model/make_delta.py` / `apply_delta.py` equivalents:
 # distribute finetuned weights as deltas vs a base model)

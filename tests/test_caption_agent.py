@@ -63,3 +63,33 @@ def test_vicuna_prompt_structure():
     assert pre.endswith("USER: ")
     assert post.endswith("ASSISTANT:")
     assert "What is this?" in post
+
+
+def test_caption_agent_batched():
+    """4-image batch captioning with per-sample lengths (the reference's
+    batched gen_image_caption, `llava/llm_agent.py:66-103`)."""
+    vcfg = tiny_vision_config()
+    lcfg = LlamaConfig.tiny()
+    vision = CLIPVisionTower(vcfg)
+    projector = VisionProjector(lcfg.hidden_size)
+    llama = LlamaForCausalLM(lcfg)
+
+    pix = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    vp = vision.init(jax.random.PRNGKey(0), pix)
+    feats = vision.apply(vp, pix)
+    pp = projector.init(jax.random.PRNGKey(1), feats)
+    lp = llama.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
+                    jnp.zeros((1, 4), jnp.int32),
+                    method=LlamaForCausalLM.init_forward)
+    agent = CaptionAgent(
+        llama=llama, llama_params=lp, vision=vision, vision_params=vp,
+        projector=projector, projector_params=pp, tokenizer=StubTokenizer(),
+        max_new_tokens=6, temperature=0.0)
+
+    rng = np.random.default_rng(1)
+    images = [rng.integers(0, 255, (32 + 8 * i, 48, 3), np.uint8)
+              for i in range(4)]
+    caps = agent.caption_batch(images)
+    assert len(caps) == 4 and all(isinstance(c, str) for c in caps)
+    # batch row 0 must match the single-image path (greedy, same seed)
+    assert caps[0] == agent.caption(images[0])

@@ -135,7 +135,7 @@ def test_int8_llama_matches_fp_closely():
     from faithdiff_tpu.captioner.llama import quantize_llama_params
 
     cfg = LlamaConfig.tiny()
-    qcfg = LlamaConfig(**{**cfg.__dict__, "quantized": True})
+    qcfg = LlamaConfig(**{**cfg.__dict__, "quant": "int8"})
     model = LlamaForCausalLM(cfg)
     qmodel = LlamaForCausalLM(qcfg)
 
@@ -166,3 +166,102 @@ def test_int8_llama_matches_fp_closely():
     from faithdiff_tpu.utils.quantize import param_bytes
 
     assert param_bytes(qparams) < 0.45 * param_bytes(params)
+
+
+def test_nf4_roundtrip_accuracy():
+    """NF4 blockwise quantization: dequantized values within the absmax-
+    scaled code resolution, exact at the block absmax."""
+    from faithdiff_tpu.utils.quantize import (dequantize_nf4, quantize_nf4)
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    q = quantize_nf4(w, block_size=64)
+    assert q.packed.shape == (32, 32) and q.absmax.shape == (32,)
+    back = dequantize_nf4(q, jnp.float32)
+    assert back.shape == w.shape
+    # worst-case code gap is 0.28 * absmax (around -1..-0.7); typical err ~4%
+    # (blocks run along the input axis per output channel -> transpose)
+    err = np.abs(np.asarray(back) - np.asarray(w)).T.ravel()
+    bounds = np.repeat(np.asarray(q.absmax), 64) * 0.16
+    assert (err <= bounds).all()
+    # block absmax element reproduces exactly (code +-1.0 maps back)
+    flat_w = np.asarray(w).T.ravel()
+    flat_b = np.asarray(back).T.ravel()
+    for blk in range(4):
+        i = np.argmax(np.abs(flat_w[blk * 64:(blk + 1) * 64])) + blk * 64
+        np.testing.assert_allclose(flat_b[i], flat_w[i], rtol=1e-6)
+
+
+def test_nf4_llama_quality_vs_int8():
+    """nf4 model must track fp logits; int8 (8 bits) should be at least as
+    close as nf4 (4 bits), and both bounded (the reference ships both
+    precisions, `llava/model/builder.py:29-38`)."""
+    from faithdiff_tpu.captioner.llama import quantize_llama_params
+    from faithdiff_tpu.utils.quantize import param_bytes
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 256, (1, 8)).astype(np.int32)
+    pos = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), jnp.asarray(ids), pos,
+                        method=LlamaForCausalLM.init_forward)
+    logits = model.apply(params, jnp.asarray(ids), pos,
+                         method=LlamaForCausalLM.init_forward)
+    denom = float(jnp.abs(logits).mean()) + 1e-8
+
+    rels, sizes = {}, {}
+    for mode in ("int8", "nf4"):
+        qcfg = LlamaConfig(**{**cfg.__dict__, "quant": mode})
+        qmodel = LlamaForCausalLM(qcfg)
+        qparams = {"params": quantize_llama_params(params["params"],
+                                                   mode=mode)}
+        qinit = qmodel.init(jax.random.PRNGKey(0), jnp.asarray(ids), pos,
+                            method=LlamaForCausalLM.init_forward)
+        assert jax.tree_util.tree_structure(qinit) == \
+            jax.tree_util.tree_structure(qparams), mode
+        qlogits = qmodel.apply(qparams, jnp.asarray(ids), pos,
+                               method=LlamaForCausalLM.init_forward)
+        rels[mode] = float(jnp.abs(qlogits - logits).mean()) / denom
+        sizes[mode] = param_bytes(qparams)
+    assert rels["int8"] < 0.05, rels
+    assert rels["nf4"] < 0.30, rels  # random-init tiny model amplifies 4-bit noise
+    assert rels["int8"] <= rels["nf4"] + 0.01, rels
+    # nf4 packs 2 weights/byte on the layer projections (lm_head stays fp,
+    # which dominates only in this tiny vocab-heavy config — on LLaVA-13B
+    # the head is 1.2% of params). Check a projection directly:
+    def proj_bytes(mode):
+        qp = quantize_llama_params(params["params"], mode=mode)
+        node = qp["model"]["layers_0"]["self_attn"]["q_proj"]
+        return sum(np.asarray(v).nbytes for v in node.values())
+
+    fp_proj = cfg.hidden_size * cfg.hidden_size * 4
+    assert proj_bytes("nf4") < 0.20 * fp_proj
+    assert proj_bytes("nf4") < 0.6 * proj_bytes("int8")
+
+
+def test_greedy_generate_keyword_stopping():
+    """Generation must stop when the sampled tokens complete a stop
+    sequence, excluding the keyword from lengths (KeywordsStoppingCriteria,
+    `llava/mm_utils.py:216-247`)."""
+    from faithdiff_tpu.captioner.llama import greedy_generate
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    emb = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6, cfg.hidden_size)),
+        jnp.float32) * 0.1
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 4), jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32),
+                        method=LlamaForCausalLM.init_forward)
+    base = greedy_generate(model, params, emb, max_new_tokens=8,
+                           eos_token_id=255)
+    # pick the greedy model's own 2nd generated token as a length-1 stop
+    # keyword -> generation must stop right after it appears
+    kw = int(np.asarray(base.tokens)[0, 1])
+    stopped = greedy_generate(model, params, emb, max_new_tokens=8,
+                              eos_token_id=255,
+                              stop_sequences=((kw,),))
+    assert int(stopped.lengths[0]) <= 1
+    np.testing.assert_array_equal(
+        np.asarray(stopped.tokens)[0, :1], np.asarray(base.tokens)[0, :1])
