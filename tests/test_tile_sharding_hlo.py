@@ -1,0 +1,56 @@
+"""Communication-shape regression for the tile-sharded denoise step.
+
+Round-1 risk (VERDICT weak #8): the per-step `merge_tiles` scatter-add
+forces a cross-device accumulation each step — if GSPMD lowered it to
+per-tile all-gathers, the 8x tile-parallel UNet win would be erased by
+communication. This test compiles the REAL pipeline denoise loop on the
+8-device CPU mesh and bounds the collectives in the compiled HLO:
+the merge must be a small fixed number of all-reduces (canvas
+accumulation), never per-tile gathers.
+"""
+import re
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+
+from faithdiff_tpu.parallel.mesh import batch_sharding, make_mesh
+from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+from faithdiff_tpu.pipelines.tiling import compute_tile_layout
+
+_COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute", "reduce-scatter")
+
+
+def _collective_counts(hlo: str) -> Counter:
+    inst = re.findall(
+        r"^\s*(?:ROOT )?%?\S+ = \S+ (" + "|".join(_COLLECTIVES) + r")\(",
+        hlo, re.M)
+    return Counter(inst)
+
+
+def test_tile_sharded_denoise_collectives_bounded():
+    mesh = make_mesh(8)
+    bsh = batch_sharding(mesh)
+    pipe = build_tiny_pipeline(tile_sharding=bsh, tile_devices=8)
+
+    layout = compute_tile_layout(12, 12, (8, 8), 0.5)
+    t = layout.num_tiles
+    pad = (-t) % 8
+    tiles = jax.device_put(jnp.zeros((t + pad, 8, 8, 64)), bsh)
+    lowered = pipe._jit_denoise.lower(
+        pipe.unet_params, jnp.zeros((1, 12, 12, 4)), tiles,
+        jnp.zeros((2, 77, 64)), jnp.zeros((2, 64)),
+        jnp.zeros((t + pad, 6)),
+        layout=layout, num_steps=2, guidance_scale=5.0,
+        guidance_rescale=0.0, add_sample=True, pad_tiles=pad,
+        tile_chunk=None)
+    counts = _collective_counts(lowered.compile().as_text())
+
+    # the merge is ONE canvas accumulation (+1 for the weight-count buffer);
+    # a few small permutes reshard the CFG pair; nothing scales with tiles
+    assert counts.get("all-gather", 0) == 0, counts
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("all-reduce", 0) <= 4, counts
+    assert counts.get("collective-permute", 0) <= 4, counts
+    assert sum(counts.values()) <= 8, counts
