@@ -23,19 +23,14 @@ from .llama import LlamaConfig, LlamaForCausalLM, greedy_generate
 
 DEFAULT_QUESTION = "Describe this image and its style in a very detailed manner."
 
-# vicuna_v1 template (`llava/conversation.py`, SeparatorStyle.TWO)
-VICUNA_SYSTEM = (
-    "A chat between a curious human and an artificial intelligence assistant. "
-    "The assistant gives helpful, detailed, and polite answers to the human's "
-    "questions."
-)
-
-
-def build_vicuna_prompt(question: str) -> List[str]:
+def build_vicuna_prompt(question: str,
+                        template: str = "vicuna_v1") -> List[str]:
     """Return the text segments around the image slot:
-    [pre_image_text, post_image_text]."""
-    pre = f"{VICUNA_SYSTEM} USER: "
-    post = f"\n{question} ASSISTANT:"
+    [pre_image_text, post_image_text] — the conversation-template render
+    split on the `<image>` placeholder (`llava/mm_utils.py:185` semantics)."""
+    from .conversation import build_prompt
+
+    pre, post = build_prompt(template, question).split("<image>", 1)
     return [pre, post]
 
 

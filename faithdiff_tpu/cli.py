@@ -43,6 +43,10 @@ def _add_restore_args(p: argparse.ArgumentParser):
                    help="dir with converted params (unet/ vae/ denoise_encoder/ text_encoder*/); omit for random init")
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--tile_devices", type=int, default=1)
+    p.add_argument("--negative_prompt", default="",
+                   help="real negative prompt text (reference encode_prompt, "
+                        "`pipeline_FaithDiff_tlc.py:485-717`); empty keeps "
+                        "the force-zeros-for-empty-prompt default")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test-config models (CI smoke runs)")
 
@@ -92,28 +96,37 @@ def load_checkpointed_pipeline(args):
     )
 
 
-def _encode_caption(args, caption: str, cross_dim: int = 2048,
-                    pooled_dim: int = 1280):
-    """Caption -> (prompt_embeds, pooled) via the text towers, or zeros when
-    no text-encoder checkpoint is present (unconditional restore)."""
+def _make_text_encoder(args):
+    """Text -> (prompt_embeds, pooled) closure over the SDXL towers, or None
+    when no text-encoder checkpoint is present (unconditional restore)."""
     import jax.numpy as jnp
 
     te_dir = (os.path.join(args.checkpoint_dir, "text_encoders")
               if args.checkpoint_dir else "")
-    if args.tokenizer_dir and te_dir and os.path.exists(te_dir):
-        from .models.clip_text import SDXLTextEncoder
-        from .models.tokenizer import SDXLTokenizer
-        from .training.checkpoint import load_params
+    if not (args.tokenizer_dir and te_dir and os.path.exists(te_dir)):
+        return None
+    from .models.clip_text import SDXLTextEncoder
+    from .models.tokenizer import SDXLTokenizer
+    from .training.checkpoint import load_params
 
-        tok = SDXLTokenizer(
-            os.path.join(args.tokenizer_dir, "tokenizer"),
-            os.path.join(args.tokenizer_dir, "tokenizer_2"))
-        ids_1, ids_2 = tok(caption)
-        enc = SDXLTextEncoder(dtype=jnp.bfloat16)
-        params = load_params(te_dir)
-        pe, pooled = enc.apply({"params": params}, jnp.asarray(ids_1),
+    tok = SDXLTokenizer(
+        os.path.join(args.tokenizer_dir, "tokenizer"),
+        os.path.join(args.tokenizer_dir, "tokenizer_2"))
+    enc = SDXLTextEncoder(dtype=jnp.bfloat16)
+    params = {"params": load_params(te_dir)}
+
+    def encode(text: str):
+        ids_1, ids_2 = tok(text)
+        pe, pooled = enc.apply(params, jnp.asarray(ids_1),
                                jnp.asarray(ids_2))
         return pe.astype(jnp.float32), pooled.astype(jnp.float32)
+
+    return encode
+
+
+def _zero_embeds(cross_dim: int, pooled_dim: int):
+    import jax.numpy as jnp
+
     return (jnp.zeros((1, 77, cross_dim), jnp.float32),
             jnp.zeros((1, pooled_dim), jnp.float32))
 
@@ -129,6 +142,10 @@ def cmd_restore(argv):
     args = p.parse_args(argv)
 
     pipe = load_checkpointed_pipeline(args)
+    encode = _make_text_encoder(args)
+    if args.negative_prompt and encode is None:
+        print("WARNING: --negative_prompt ignored (no text-encoder "
+              "checkpoint); using zero negative embeds")
     os.makedirs(args.save_dir, exist_ok=True)
     images = sorted(sum([glob.glob(os.path.join(args.img_dir, e))
                          for e in ("*.png", "*.jpg", "*.jpeg")], []))
@@ -157,8 +174,16 @@ def cmd_restore(argv):
 
         cross_dim = 64 if args.tiny else 2048
         pooled_dim = 64 if args.tiny else 1280
-        pe, pooled = _encode_caption(args, caption, cross_dim, pooled_dim)
-        out = pipe(lr, pe, pooled, seed=args.seed)
+        if encode is not None:
+            pe, pooled = encode(caption)
+        else:
+            pe, pooled = _zero_embeds(cross_dim, pooled_dim)
+        neg_pe = neg_pooled = None
+        if args.negative_prompt and encode is not None:
+            neg_pe, neg_pooled = encode(args.negative_prompt)
+        out = pipe(lr, pe, pooled, seed=args.seed,
+                   negative_prompt_embeds=neg_pe,
+                   negative_pooled_prompt_embeds=neg_pooled)
         out = out[:h0, :w0]  # crop the /8 padding back off
         Image.fromarray(np.uint8(np.clip(out, 0, 1) * 255)).save(out_path)
         print(f"restored {name} -> {out_path}")

@@ -269,6 +269,81 @@ def rgb_to_grayscale(image: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# color jitter (torchvision-functional semantics, as used by basicsr's
+# `color_jitter_pt` in the reference second stage, `realesrgan.py:288-295`)
+# ---------------------------------------------------------------------------
+
+def adjust_brightness(image: jax.Array, factor: float) -> jax.Array:
+    return jnp.clip(image * factor, 0.0, 1.0)
+
+
+def adjust_contrast(image: jax.Array, factor: float) -> jax.Array:
+    mean = jnp.mean(rgb_to_grayscale(image)[..., :1], axis=(1, 2, 3),
+                    keepdims=True)
+    return jnp.clip(factor * image + (1.0 - factor) * mean, 0.0, 1.0)
+
+
+def adjust_saturation(image: jax.Array, factor: float) -> jax.Array:
+    gray = rgb_to_grayscale(image)
+    return jnp.clip(factor * image + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def _rgb_to_hsv(image: jax.Array):
+    r, g, b = image[..., 0], image[..., 1], image[..., 2]
+    maxc = jnp.max(image, axis=-1)
+    minc = jnp.min(image, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array) -> jax.Array:
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(image: jax.Array, factor: float) -> jax.Array:
+    """Shift hue by `factor` (in turns, [-0.5, 0.5])."""
+    h, s, v = _rgb_to_hsv(jnp.clip(image, 0.0, 1.0))
+    return _hsv_to_rgb((h + factor) % 1.0, s, v)
+
+
+def color_jitter(image: jax.Array, rng: np.random.Generator,
+                 brightness=(0.5, 1.5), contrast=(0.5, 1.5),
+                 saturation=(0.0, 1.5), hue=(-0.1, 0.1)) -> jax.Array:
+    """Random-order brightness/contrast/saturation/hue jitter with factors
+    drawn on the host (basicsr `color_jitter_pt` semantics)."""
+    ops = {
+        0: lambda im: adjust_brightness(im, rng.uniform(*brightness)),
+        1: lambda im: adjust_contrast(im, rng.uniform(*contrast)),
+        2: lambda im: adjust_saturation(im, rng.uniform(*saturation)),
+        3: lambda im: adjust_hue(im, rng.uniform(*hue)),
+    }
+    for fn_id in rng.permutation(4):
+        image = ops[int(fn_id)](image)
+    return image
+
+
+# ---------------------------------------------------------------------------
 # full two-stage pipeline
 # ---------------------------------------------------------------------------
 
@@ -399,6 +474,10 @@ class RealESRGANDegradation:
 
         if rng.uniform() < cfg.gray_prob:
             out = rgb_to_grayscale(out)
+
+        # brightness/contrast/saturation/hue jitter (`realesrgan.py:288-295`)
+        if rng.uniform() < cfg.color_jitter_prob:
+            out = color_jitter(jnp.clip(out, 0.0, 1.0), rng)
 
         # clamp + uint8 round (`realesrgan.py:303`)
         lq = jnp.clip(jnp.round(jnp.clip(out, 0, 1) * 255.0), 0, 255) / 255.0

@@ -1,0 +1,243 @@
+"""Reviewer-based pairwise answer scoring (the "GPT review" harness).
+
+Capability-equivalent to the reference's
+`/root/reference/llava/eval/eval_gpt_review.py`,
+`eval_gpt_review_visual.py` (context-conditioned variant), and
+`summarize_gpt_review.py` — with the OpenAI/ray coupling replaced by a
+pluggable reviewer backend so the offline plumbing (prompt builder, score
+parser, resume-aware runner, summarizer) is testable without network access.
+
+Record formats match the reference jsonl conventions:
+- questions: {"question_id", "text", "category", ["image"]}
+- answers:   {"question_id", "answer_id", "text"}
+- context:   {"image", "captions": [...], "instances": [{"category","bbox"}]}
+- reviews:   {"id", "question_id", "answer1_id", "answer2_id", "category",
+              "content", "tuple": [score1, score2]}
+
+A backend is any callable `(content: str, system: str, max_tokens: int) -> str`.
+Select one on the CLI with `--backend module:function`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from collections import defaultdict
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+REVIEWER_SYSTEM = ("You are a helpful and precise assistant for checking "
+                   "the quality of the answer.")
+
+# minimal built-in rules (the reference ships the full set in
+# `llava/eval/table/rule.json`; pass --rule to use such a file)
+DEFAULT_RULES = {
+    "default": {
+        "role": "Assistant",
+        "prompt": (
+            "We would like to request your feedback on the performance of "
+            "two AI assistants in response to the user question displayed "
+            "above.\nPlease rate the helpfulness, relevance, accuracy, "
+            "level of details of their responses. Each assistant receives "
+            "an overall score on a scale of 1 to 10, where a higher score "
+            "indicates better overall performance.\nPlease first output a "
+            "single line containing only two values indicating the scores "
+            "for Assistant 1 and 2, respectively. The two scores are "
+            "separated by a space.\nIn the subsequent line, please provide "
+            "a comprehensive explanation of your evaluation, avoiding any "
+            "potential bias and ensuring that the order in which the "
+            "responses were presented does not affect your judgment."),
+    },
+}
+
+
+def parse_score(review: str) -> List[float]:
+    """First line -> [score1, score2]; [-1, -1] on malformed reviews
+    (reference `parse_score`, `eval_gpt_review.py:38-51`)."""
+    try:
+        pair = review.split("\n")[0].replace(",", " ").split()
+        if len(pair) == 2:
+            return [float(pair[0]), float(pair[1])]
+    except (ValueError, IndexError):
+        pass
+    return [-1.0, -1.0]
+
+
+def build_review_content(
+    question: str,
+    answer1: str,
+    answer2: str,
+    rule: Dict[str, str],
+    context: Optional[str] = None,
+) -> str:
+    """The reviewer prompt (reference `eval_gpt_review.py:92-96`; the
+    `[Context]` block is the visual variant, `eval_gpt_review_visual.py`)."""
+    role = rule.get("role", "Assistant")
+    prompt = rule["prompt"]
+    parts = []
+    if context:
+        parts.append(f"[Context]\n{context}\n\n")
+    parts.append(f"[Question]\n{question}\n\n")
+    parts.append(f"[{role} 1]\n{answer1}\n\n[End of {role} 1]\n\n")
+    parts.append(f"[{role} 2]\n{answer2}\n\n[End of {role} 2]\n\n")
+    parts.append(f"[System]\n{prompt}\n\n")
+    return "".join(parts)
+
+
+def format_context(inst: Dict) -> str:
+    """Caption + detection context string (`eval_gpt_review_visual.py:86-88`)."""
+    cap_str = "\n".join(inst.get("captions", []))
+    box_str = "\n".join(
+        f'{b["category"]}: {b["bbox"]}' for b in inst.get("instances", []))
+    return f"{cap_str}\n\n{box_str}"
+
+
+def load_backend(spec: str) -> Callable[[str, str, int], str]:
+    """Resolve `module:function` into a reviewer callable."""
+    mod_name, _, fn_name = spec.partition(":")
+    if not fn_name:
+        raise ValueError(f"backend spec must be module:function, got {spec!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def review_answers(
+    questions: Iterable[Dict],
+    answers1: Iterable[Dict],
+    answers2: Iterable[Dict],
+    backend: Callable[[str, str, int], str],
+    rules: Optional[Dict[str, Dict]] = None,
+    contexts: Optional[Dict[str, Dict]] = None,
+    max_tokens: int = 1024,
+    done_ids: Optional[set] = None,
+) -> Iterable[Dict]:
+    """Yield review records; skips question_ids in `done_ids` (the resume
+    behaviour of `eval_gpt_review_visual.py:66-71`)."""
+    rules = rules or DEFAULT_RULES
+    done_ids = done_ids or set()
+    idx = 0
+    for ques, ans1, ans2 in zip(questions, answers1, answers2):
+        idx += 1
+        if ques["question_id"] in done_ids:
+            continue
+        category = ques.get("category", "default")
+        rule = rules.get(category, rules.get("default"))
+        if rule is None:
+            raise KeyError(f"no rule for category {category!r}")
+        context = None
+        if contexts is not None:
+            context = format_context(contexts[ques["image"]])
+        content = build_review_content(
+            ques["text"], ans1["text"], ans2["text"], rule, context)
+        review = backend(content, REVIEWER_SYSTEM, max_tokens)
+        yield {
+            "id": idx,
+            "question_id": ques["question_id"],
+            "answer1_id": ans1.get("answer_id", ""),
+            "answer2_id": ans2.get("answer_id", ""),
+            "category": category,
+            "content": review,
+            "tuple": parse_score(review),
+        }
+
+
+def summarize_reviews(records: Iterable[Dict],
+                      ignore: Sequence = ()) -> Dict[str, Dict[str, float]]:
+    """Per-category means + relative score, the `summarize_gpt_review.py`
+    math: relative = mean2/mean1*100, scores scaled x10."""
+    scores = defaultdict(list)
+    for rec in records:
+        if rec.get("question_id") in set(ignore):
+            continue
+        pair = rec.get("tuple", rec.get("score"))
+        if pair is None:
+            continue
+        scores[rec.get("category", "all")].append(pair)
+        if "category" in rec:
+            scores["all"].append(pair)
+    out = {}
+    for cat, pairs in sorted(scores.items()):
+        n = len(pairs)
+        m1 = sum(p[0] for p in pairs) / n
+        m2 = sum(p[1] for p in pairs) / n
+        out[cat] = {
+            "count": n,
+            "score1": round(m1 * 10, 1),
+            "score2": round(m2 * 10, 1),
+            "relative": round(m2 / m1 * 100, 1) if m1 else float("nan"),
+        }
+    return out
+
+
+def _read_jsonl(path: str) -> List[Dict]:
+    with open(os.path.expanduser(path)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def unavailable_backend(content: str, system: str, max_tokens: int) -> str:
+    raise RuntimeError(
+        "no reviewer backend configured: pass --backend module:function "
+        "(a callable (content, system, max_tokens) -> str, e.g. a wrapper "
+        "over an LLM API client)")
+
+
+def cmd_review(argv):
+    p = argparse.ArgumentParser("gpt_review review")
+    p.add_argument("-q", "--question", required=True)
+    p.add_argument("-a", "--answer-list", nargs=2, required=True)
+    p.add_argument("-c", "--context", default=None)
+    p.add_argument("-r", "--rule", default=None)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--backend", default=None,
+                   help="module:function reviewer backend")
+    p.add_argument("--max-tokens", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    rules = (json.load(open(os.path.expanduser(args.rule)))
+             if args.rule else DEFAULT_RULES)
+    contexts = None
+    if args.context:
+        contexts = {c["image"]: c for c in _read_jsonl(args.context)}
+    backend = (load_backend(args.backend) if args.backend
+               else unavailable_backend)
+    done = set()
+    if os.path.isfile(args.output):
+        done = {r["question_id"] for r in _read_jsonl(args.output)}
+    with open(args.output, "a") as out:
+        for rec in review_answers(
+                _read_jsonl(args.question),
+                _read_jsonl(args.answer_list[0]),
+                _read_jsonl(args.answer_list[1]),
+                backend, rules, contexts, args.max_tokens, done):
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+    print(f"reviews written to {args.output}")
+
+
+def cmd_summarize(argv):
+    p = argparse.ArgumentParser("gpt_review summarize")
+    p.add_argument("-f", "--files", nargs="+", required=True)
+    p.add_argument("-i", "--ignore", nargs="*", default=[])
+    args = p.parse_args(argv)
+    for path in args.files:
+        print(os.path.basename(path))
+        table = summarize_reviews(_read_jsonl(path), ignore=args.ignore)
+        for cat, row in table.items():
+            print(f"  {cat}: relative={row['relative']} "
+                  f"score1={row['score1']} score2={row['score2']} "
+                  f"n={row['count']}")
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cmds = {"review": cmd_review, "summarize": cmd_summarize}
+    if not argv or argv[0] not in cmds:
+        print("usage: python -m faithdiff_tpu.eval.gpt_review "
+              "{review|summarize} ...")
+        return 1
+    return cmds[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

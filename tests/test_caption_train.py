@@ -90,3 +90,57 @@ def test_full_finetune_loss_decreases():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_template_registry_covers_reference_names():
+    """The registry mirrors `llava/conversation.py:373-391` (16 names)."""
+    want = {"default", "v0", "v1", "vicuna_v1", "llama_2",
+            "mistral_instruct", "chatml_direct", "mistral_direct", "plain",
+            "v0_plain", "llava_v0", "v0_mmtag", "llava_v1", "v1_mmtag",
+            "llava_llama_2", "mpt"}
+    assert want == set(TEMPLATES)
+
+
+def test_vicuna_v1_render_is_reference_exact():
+    """Golden render checked against the reference module's output."""
+    q = "Describe this image and its style in a very detailed manner."
+    want = ("A chat between a curious user and an artificial intelligence "
+            "assistant. The assistant gives helpful, detailed, and polite "
+            "answers to the user's questions. USER: <image>\n" + q +
+            " ASSISTANT:")
+    assert build_prompt("vicuna_v1", q) == want
+
+
+def test_mpt_render_is_reference_exact():
+    want = ("<|im_start|>system\nA conversation between a user and an "
+            "LLM-based AI assistant. The assistant gives helpful and honest "
+            "answers.<|im_end|><|im_start|>user\n<image>\nQ?<|im_end|>"
+            "<|im_start|>assistant\n")
+    assert build_prompt("mpt", "Q?") == want
+
+
+def test_mmtag_render_wraps_image_exchange():
+    p = build_prompt("v1_mmtag", "Q?")
+    assert "<Image><image></Image>" in p
+    assert "Received.</s>" in p
+    assert p.endswith("ASSISTANT:")
+
+
+def test_llama2_multiturn_sep_joining():
+    conv = TEMPLATES["llava_llama_2"].copy()
+    conv.append_message(conv.roles[0], "first")
+    conv.append_message(conv.roles[1], "answer")
+    conv.append_message(conv.roles[0], "second")
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    # second user turn is prefixed by the bos separator (reference `:86-90`)
+    assert " answer </s><s>[INST] second [/INST]" in p
+    assert not p.startswith("<s>")  # leading bos is lstripped (`:93`)
+
+
+def test_agent_prompt_uses_vicuna_v1_system():
+    from faithdiff_tpu.captioner.agent import build_vicuna_prompt
+
+    pre, post = build_vicuna_prompt("What?")
+    assert pre.startswith("A chat between a curious user")
+    assert post.endswith("ASSISTANT:")

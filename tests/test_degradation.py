@@ -162,3 +162,73 @@ def test_full_degradation_pipeline():
         # degraded-downscaled image must differ from a clean downscale
         clean_small = np.asarray(resize(gt, (32, 32), "bilinear"))
         assert np.abs(lq_np - clean_small).mean() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# color jitter (`realesrgan.py:288-295` / basicsr color_jitter_pt semantics)
+# ---------------------------------------------------------------------------
+
+def test_hsv_roundtrip_identity():
+    from faithdiff_tpu.data.degradation import _hsv_to_rgb, _rgb_to_hsv
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)))
+    h, s, v = _rgb_to_hsv(img)
+    back = _hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1e-5)
+
+
+def test_adjust_hue_matches_colorsys():
+    import colorsys
+
+    from faithdiff_tpu.data.degradation import adjust_hue
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (1, 4, 5, 3))
+    shift = 0.07
+    got = np.asarray(adjust_hue(jnp.asarray(img), shift))
+    for y in range(4):
+        for x in range(5):
+            r, g, b = img[0, y, x]
+            h, l_s, v = colorsys.rgb_to_hsv(r, g, b)
+            want = colorsys.hsv_to_rgb((h + shift) % 1.0, l_s, v)
+            np.testing.assert_allclose(got[0, y, x], want, atol=1e-5)
+
+
+def test_adjust_brightness_contrast_saturation():
+    from faithdiff_tpu.data.degradation import (adjust_brightness,
+                                                adjust_contrast,
+                                                adjust_saturation)
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 6, 6, 3)))
+    np.testing.assert_allclose(
+        np.asarray(adjust_brightness(img, 0.5)), np.asarray(img) * 0.5,
+        atol=1e-6)
+    # contrast factor 1 and saturation factor 1 are identity
+    np.testing.assert_allclose(
+        np.asarray(adjust_contrast(img, 1.0)), np.asarray(img), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(adjust_saturation(img, 1.0)), np.asarray(img), atol=1e-6)
+    # saturation factor 0 is grayscale
+    g = np.asarray(adjust_saturation(img, 0.0))
+    assert np.allclose(g[..., 0], g[..., 1], atol=1e-6)
+    assert np.allclose(g[..., 1], g[..., 2], atol=1e-6)
+
+
+def test_color_jitter_prob_wired_into_pipeline():
+    """color_jitter_prob=1 must change the LQ output vs prob=0 under the
+    same RNG stream position at the jitter branch (round-1 flag-lies fix)."""
+    hr = np.random.default_rng(3).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    def run(prob):
+        cfg = DegradationConfig(
+            scale=2, gray_prob=0.0, color_jitter_prob=prob,
+            final_sinc_prob=0.0)
+        deg = RealESRGANDegradation(cfg, seed=7)
+        _, lq = deg(jax.random.PRNGKey(7), jnp.asarray(hr))
+        return np.asarray(lq)
+
+    a, b = run(0.0), run(1.0)
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)
