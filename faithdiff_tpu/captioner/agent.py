@@ -52,9 +52,17 @@ class CaptionAgent:
     @staticmethod
     def from_checkpoint(ckpt_dir: str, dtype=jnp.bfloat16,
                         load_8bit: bool = True,
-                        load_4bit: bool = False) -> "CaptionAgent":
+                        load_4bit: bool = False,
+                        model_type: str = "") -> "CaptionAgent":
         """Load converted params + tokenizer from a local directory
         (layout: llama/ vision/ projector/ tokenizer/).
+
+        `model_type` in {"llama", "mistral", "mpt"}; empty infers from the
+        directory name the way the reference builder keys on the model name
+        (`llava/model/builder.py:26`). Mistral is the LLaMA architecture +
+        GQA + sliding window; MPT (`captioner/mpt.py`) uses ALiBi and a
+        tied lm_head. Weight-only quantization currently applies to the
+        llama/mistral family.
 
         load_8bit quantises the LM projections to int8 weight-only;
         load_4bit to blockwise nf4 (takes precedence, mirroring the
@@ -69,11 +77,25 @@ class CaptionAgent:
         from ..training.checkpoint import load_params
         from .llama import quantize_llama_params
 
+        if not model_type:
+            name = os.path.basename(os.path.normpath(ckpt_dir)).lower()
+            model_type = ("mpt" if "mpt" in name
+                          else "mistral" if "mistral" in name else "llama")
         quant = "nf4" if load_4bit else ("int8" if load_8bit else "")
-        llama_cfg = _dc.replace(LlamaConfig.llava_13b(), quant=quant)
-        llama = LlamaForCausalLM(llama_cfg, dtype=dtype)
+        if model_type == "mpt":
+            from .mpt import MPTConfig, MPTForCausalLM
+
+            llama = MPTForCausalLM(MPTConfig(), dtype=dtype)
+            hidden = llama.config.d_model
+            quant = ""
+        else:
+            base = (LlamaConfig.mistral_7b() if model_type == "mistral"
+                    else LlamaConfig.llava_13b())
+            llama_cfg = _dc.replace(base, quant=quant)
+            llama = LlamaForCausalLM(llama_cfg, dtype=dtype)
+            hidden = llama_cfg.hidden_size
         vision = CLIPVisionTower(CLIPVisionConfig(), dtype=dtype)
-        projector = VisionProjector(llama_cfg.hidden_size, dtype=dtype)
+        projector = VisionProjector(hidden, dtype=dtype)
         llama_tree = load_params(os.path.join(ckpt_dir, "llama"))
         if quant:
             llama_tree = quantize_llama_params(llama_tree, mode=quant)
@@ -92,7 +114,7 @@ class CaptionAgent:
     def _embed_ids(self, ids: np.ndarray) -> jax.Array:
         return self.llama.apply(
             self.llama_params, jnp.asarray(ids),
-            method=LlamaForCausalLM.embed)
+            method="embed")
 
     def build_multimodal_embeds(
         self, images, question: str = DEFAULT_QUESTION

@@ -40,6 +40,10 @@ class LlamaConfig:
     # v5e chip's 16 GB HBM (bf16 weights alone are 26 GB; int8 13 GB,
     # nf4 6.6 GB).
     quant: str = ""           # "" | "int8" | "nf4"
+    # Mistral-family sliding-window attention (None = full causal). The
+    # Mistral binding (`llava/model/language_model/llava_mistral.py`) is the
+    # LLaMA architecture + GQA + this window.
+    sliding_window: Optional[int] = None
 
     @property
     def quantized(self) -> bool:
@@ -48,6 +52,21 @@ class LlamaConfig:
     @staticmethod
     def llava_13b() -> "LlamaConfig":
         return LlamaConfig()
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        return LlamaConfig(hidden_size=4096, intermediate_size=14336,
+                           num_hidden_layers=32, num_attention_heads=32,
+                           num_key_value_heads=8,
+                           max_position_embeddings=32768,
+                           sliding_window=4096)
+
+    @staticmethod
+    def tiny_mistral() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=256, hidden_size=64,
+                           intermediate_size=128, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=128, sliding_window=8)
 
     @staticmethod
     def tiny() -> "LlamaConfig":
@@ -173,7 +192,22 @@ class LlamaAttention(nn.Module):
                 rep = heads // kv_heads
                 k = jnp.repeat(k, rep, axis=1)
                 v = jnp.repeat(v, rep, axis=1)
-            out = multi_head_attention(q, k, v, causal=True)
+            if cfg.sliding_window is not None:
+                # causal + sliding-window mask (Mistral): XLA attention —
+                # prompts are short relative to the window in practice
+                scale = 1.0 / np.sqrt(hd)
+                logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32) * scale
+                qi = jnp.arange(s)[:, None]
+                ki = jnp.arange(s)[None, :]
+                mask = (ki <= qi) & (ki > qi - cfg.sliding_window)
+                logits = jnp.where(mask[None, None], logits, -1e30)
+                probs = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
+            else:
+                out = multi_head_attention(q, k, v, causal=True)
         else:
             # decode: write k/v at cache_index, attend over cache[:attn_len]
             ck, cv = kv_cache                  # [B, KVH, MAX, D]
@@ -187,7 +221,10 @@ class LlamaAttention(nn.Module):
             scale = 1.0 / np.sqrt(hd)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck,
                                 preferred_element_type=jnp.float32) * scale
-            mask = (jnp.arange(ck.shape[2])[None, None, None] <= attn_len)
+            ki = jnp.arange(ck.shape[2])[None, None, None]
+            mask = ki <= attn_len
+            if cfg.sliding_window is not None:
+                mask = mask & (ki > attn_len - cfg.sliding_window)
             logits = jnp.where(mask, logits, -1e30)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cv.dtype), cv,
@@ -316,7 +353,13 @@ def greedy_generate(
     # ---- prefill: one causal pass over the whole prompt that also writes
     # the prompt k/v into the caches (q len > 1 selects the causal-prefill
     # branch in LlamaAttention)
-    caches = init_kv_caches(cfg, b, max_len, dtype=prompt_embeds.dtype)
+    if hasattr(cfg, "d_model"):  # MPT family (captioner/mpt.py)
+        from .mpt import init_mpt_kv_caches
+
+        caches = init_mpt_kv_caches(cfg, b, max_len,
+                                    dtype=prompt_embeds.dtype)
+    else:
+        caches = init_kv_caches(cfg, b, max_len, dtype=prompt_embeds.dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     logits, caches = model.apply(params, prompt_embeds, positions, caches, 0,
                                  jnp.asarray(s - 1))
@@ -346,7 +389,7 @@ def greedy_generate(
         i, tok, caches, _, done, key = state
         key, sub = jax.random.split(key)
         emb = model.apply(params, tok[:, None],
-                          method=LlamaForCausalLM.embed)
+                          method="embed")
         pos = jnp.broadcast_to(jnp.asarray(s)[None, None] + i, (b, 1))
         logits, caches = model.apply(params, emb, pos, caches, s + i,
                                      jnp.asarray(s) + i)

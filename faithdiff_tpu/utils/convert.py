@@ -356,6 +356,46 @@ def convert_llama(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return tree
 
 
+# transformers Mistral uses the exact LLaMA key naming (the reference's
+# Mistral binding, `llava/model/language_model/llava_mistral.py`)
+convert_mistral = convert_llama
+
+
+def convert_mpt(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """transformers MPTForCausalLM -> our `MPTForCausalLM` params
+    (the reference's MPT binding, `llava/model/language_model/llava_mpt.py`).
+
+    MPT keys: transformer.wte.weight, transformer.blocks.N.{norm_1.weight,
+    attn.Wqkv.weight, attn.out_proj.weight, norm_2.weight,
+    ffn.up_proj.weight, ffn.down_proj.weight}, transformer.norm_f.weight."""
+    tree: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if "vision_tower" in k or "mm_projector" in k:
+            continue
+        arr = _to_numpy(v)
+        parts = k.split(".")
+        if parts[0] == "transformer":
+            parts = parts[1:]
+        if parts[0] == "wte":
+            tree["wte"] = {"embedding": arr}
+            continue
+        if parts[0] == "norm_f":
+            tree["norm_f"] = {"weight": arr}
+            continue
+        assert parts[0] == "blocks", k
+        blk = tree.setdefault(f"blocks_{parts[1]}", {})
+        rest = parts[2:]
+        if rest[0] in ("norm_1", "norm_2"):
+            blk[rest[0]] = {"weight": arr}
+        elif rest[0] == "attn":
+            blk.setdefault("attn", {})[rest[1]] = {"kernel": arr.T}
+        elif rest[0] == "ffn":
+            blk[rest[1]] = {"kernel": arr.T}
+        else:
+            raise KeyError(f"unhandled MPT key {k}")
+    return tree
+
+
 def convert_clip_vision(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     """transformers CLIPVisionModel -> our `CLIPVisionTower` params."""
     sd = {}
