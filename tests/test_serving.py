@@ -158,3 +158,55 @@ def test_chat_cli_parses(monkeypatch, tmp_path, capsys):
         chat.main(["--captioner_dir", "fake", "--image", str(img_path)])
     assert len(StubAgent.calls) == 2
     assert "hello" in StubAgent.calls[1]  # history carried into turn 2
+
+
+def test_external_backend_worker_end_to_end():
+    """Controller -> external worker -> stub 'sglang' backend, streamed back
+    (the reference's sglang_worker path, `llava/serve/sglang_worker.py`)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from faithdiff_tpu.serving.external_worker import make_external_worker
+
+    # stub external inference server: line-delimited cumulative JSON chunks
+    class Backend(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            params = json.loads(self.rfile.read(n))
+            assert params["model"] == "llava-ext"
+            self.send_response(200)
+            self.end_headers()
+            acc = ""
+            for w in ["ext", "ext backend", "ext backend caption"]:
+                self.wfile.write(json.dumps({"text": w}).encode() + b"\n")
+                self.wfile.flush()
+
+    bport = _free_port()
+    bserver = ThreadingHTTPServer(("127.0.0.1", bport), Backend)
+    threading.Thread(target=bserver.serve_forever, daemon=True).start()
+
+    cport = _free_port()
+    controller = ctl.Controller(dispatch_method="shortest_queue")
+    cserver = ctl.serve(controller, port=cport)
+    caddr = f"http://127.0.0.1:{cport}"
+    wport = _free_port()
+    waddr = f"http://127.0.0.1:{wport}"
+    worker = make_external_worker(
+        caddr, waddr, ["llava-ext"],
+        backend_url=f"http://127.0.0.1:{bport}/generate")
+    wserver = wk.serve(worker, port=wport)
+    try:
+        raw = _post(caddr, "/worker_generate_stream",
+                    {"model": "llava-ext", "prompt": "hi"})
+        chunks = [json.loads(c) for c in raw.split(b"\0") if c.strip()]
+        assert chunks[-1]["text"] == "ext backend caption"
+        assert all(c["error_code"] == 0 for c in chunks)
+    finally:
+        worker.stop()
+        controller.stop()
+        cserver.shutdown()
+        wserver.shutdown()
+        bserver.shutdown()
