@@ -157,3 +157,77 @@ def preprocess_clip_image(img: np.ndarray, image_size: int = 336,
     x = img.astype(np.float32) / 255.0
     x = (x - CLIP_MEAN) / CLIP_STD
     return x[None]
+
+
+# ---------------------------------------------------------------------------
+# anyres (variable-resolution) preprocessing
+# (`/root/reference/llava/mm_utils.py:12-145`; used by LLaVA-1.6-style
+# checkpoints — LLaVA-1.5, the FaithDiff captioner, uses the square path)
+# ---------------------------------------------------------------------------
+
+def select_best_resolution(original_size, possible_resolutions):
+    """Pick the grid resolution maximising effective (non-wasted) pixels
+    (`mm_utils.py:12-40`). Sizes are (width, height)."""
+    ow, oh = original_size
+    best, best_eff, min_waste = None, 0, float("inf")
+    for w, h in possible_resolutions:
+        scale = min(w / ow, h / oh)
+        dw, dh = int(ow * scale), int(oh * scale)
+        eff = min(dw * dh, ow * oh)
+        waste = w * h - eff
+        if eff > best_eff or (eff == best_eff and waste < min_waste):
+            best_eff, min_waste, best = eff, waste, (w, h)
+    return best
+
+
+def resize_and_pad_image(img: np.ndarray, target_resolution) -> np.ndarray:
+    """Aspect-preserving resize then center-pad with black to
+    (width, height) (`mm_utils.py:42-75`)."""
+    import math
+
+    from PIL import Image
+
+    oh, ow = img.shape[:2]
+    tw, th = target_resolution
+    scale_w, scale_h = tw / ow, th / oh
+    if scale_w < scale_h:
+        nw, nh = tw, min(math.ceil(oh * scale_w), th)
+    else:
+        nh, nw = th, min(math.ceil(ow * scale_h), tw)
+    resized = np.asarray(Image.fromarray(img).resize((nw, nh)))
+    out = np.zeros((th, tw, 3), img.dtype)
+    y0, x0 = (th - nh) // 2, (tw - nw) // 2
+    out[y0:y0 + nh, x0:x0 + nw] = resized
+    return out
+
+
+def divide_to_patches(img: np.ndarray, patch_size: int):
+    """Row-major square crops (`mm_utils.py:77-96`)."""
+    patches = []
+    h, w = img.shape[:2]
+    for i in range(0, h, patch_size):
+        for j in range(0, w, patch_size):
+            patches.append(img[i:i + patch_size, j:j + patch_size])
+    return patches
+
+
+def process_anyres_image(img: np.ndarray, image_size: int,
+                         grid_pinpoints) -> np.ndarray:
+    """Image -> [1 + n_patches, S, S, 3] CLIP-normalised stack: the resized
+    base image first, then the best-grid patches
+    (`mm_utils.py:119-145`)."""
+    import ast
+
+    if isinstance(grid_pinpoints, str):
+        grid_pinpoints = ast.literal_eval(grid_pinpoints)
+    best = select_best_resolution((img.shape[1], img.shape[0]),
+                                  grid_pinpoints)
+    padded = resize_and_pad_image(img, best)
+    patches = divide_to_patches(padded, image_size)
+    from PIL import Image
+
+    base = np.asarray(Image.fromarray(img).resize((image_size, image_size)))
+    stack = [base] + patches
+    return np.concatenate([
+        preprocess_clip_image(p, image_size, pad_square=False)
+        for p in stack])
