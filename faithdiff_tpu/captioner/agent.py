@@ -55,7 +55,10 @@ class CaptionAgent:
                         load_4bit: bool = False,
                         model_type: str = "") -> "CaptionAgent":
         """Load converted params + tokenizer from a local directory
-        (layout: llama/ vision/ projector/ tokenizer/).
+        (layout: llama/ vision/ projector/ tokenizer/; an optional lora/
+        subdirectory is merged into the LM weights before quantization,
+        mirroring the reference builder's LoRA-merge path,
+        `llava/model/builder.py:48-90`).
 
         `model_type` in {"llama", "mistral", "mpt"}; empty infers from the
         directory name the way the reference builder keys on the model name
@@ -97,6 +100,12 @@ class CaptionAgent:
         vision = CLIPVisionTower(CLIPVisionConfig(), dtype=dtype)
         projector = VisionProjector(hidden, dtype=dtype)
         llama_tree = load_params(os.path.join(ckpt_dir, "llama"))
+        lora_dir = os.path.join(ckpt_dir, "lora")
+        if os.path.exists(lora_dir):
+            from ..training.lora import merge_lora
+
+            llama_tree = merge_lora(llama_tree,
+                                    load_params(lora_dir))
         if quant:
             llama_tree = quantize_llama_params(llama_tree, mode=quant)
         return CaptionAgent(
@@ -117,7 +126,9 @@ class CaptionAgent:
             method="embed")
 
     def build_multimodal_embeds(
-        self, images, question: str = DEFAULT_QUESTION
+        self, images, question: str = DEFAULT_QUESTION,
+        image_aspect_ratio: str = "pad",
+        anyres_grid_pinpoints=None,
     ) -> jax.Array:
         """Tokenise around the image slot and splice projected image patches
         (`llava/model/llava_arch.py:145-324` splice semantics).
@@ -125,7 +136,13 @@ class CaptionAgent:
         `images`: one HWC array or a list of them — all samples share the
         prompt and the fixed 576-patch image slot, so the batch stacks
         without padding (the reference's batched `gen_image_caption`,
-        `llava/llm_agent.py:66-103`)."""
+        `llava/llm_agent.py:66-103`).
+
+        `image_aspect_ratio`: "pad" (expand2square, the LLaVA-1.5 default),
+        "square" (plain resize), or "anyres" with `anyres_grid_pinpoints` —
+        base image + grid patches encoded separately and their features
+        concatenated (the reference's `mm_patch_merge_type == "flat"` path,
+        `llava_arch.py:160-166`; batch size 1 only)."""
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
         pre, post = build_vicuna_prompt(question)
@@ -135,11 +152,25 @@ class CaptionAgent:
             self.tokenizer(post, add_special_tokens=False,
                            return_tensors="np").input_ids, np.int32)
 
-        pixel = np.concatenate([
-            preprocess_clip_image(im, self.vision.config.image_size)
-            for im in images])
-        feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
-        img_embeds = self.projector.apply(self.projector_params, feats)
+        size = self.vision.config.image_size
+        if image_aspect_ratio == "anyres":
+            from .clip_vision import process_anyres_image
+
+            assert len(images) == 1, "anyres splice supports batch 1"
+            assert anyres_grid_pinpoints is not None
+            pixel = process_anyres_image(images[0], size,
+                                         anyres_grid_pinpoints)
+            feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
+            img_embeds = self.projector.apply(self.projector_params, feats)
+            # flat merge: [k, P, D] -> [1, k*P, D]
+            img_embeds = img_embeds.reshape(1, -1, img_embeds.shape[-1])
+        else:
+            pixel = np.concatenate([
+                preprocess_clip_image(im, size,
+                                      pad_square=image_aspect_ratio == "pad")
+                for im in images])
+            feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
+            img_embeds = self.projector.apply(self.projector_params, feats)
 
         n = len(images)
         pre_e = jnp.tile(self._embed_ids(pre_ids), (n, 1, 1))

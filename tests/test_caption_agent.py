@@ -93,3 +93,36 @@ def test_caption_agent_batched():
     assert len(caps) == 4 and all(isinstance(c, str) for c in caps)
     # batch row 0 must match the single-image path (greedy, same seed)
     assert caps[0] == agent.caption(images[0])
+
+
+def test_anyres_multimodal_embeds():
+    """anyres flat merge: [1 + patches] x 576 image tokens in the splice
+    (`llava_arch.py:160-166` flat path)."""
+    vcfg = tiny_vision_config()
+    lcfg = LlamaConfig.tiny()
+    vision = CLIPVisionTower(vcfg)
+    projector = VisionProjector(lcfg.hidden_size)
+    llama = LlamaForCausalLM(lcfg)
+    pix = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    vp = vision.init(jax.random.PRNGKey(0), pix)
+    feats = vision.apply(vp, pix)
+    pp = projector.init(jax.random.PRNGKey(1), feats)
+    lp = llama.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
+                    jnp.zeros((1, 4), jnp.int32),
+                    method=LlamaForCausalLM.init_forward)
+    from faithdiff_tpu.captioner.agent import CaptionAgent
+
+    agent = CaptionAgent(llama=llama, llama_params=lp, vision=vision,
+                         vision_params=vp, projector=projector,
+                         projector_params=pp, tokenizer=StubTokenizer())
+    img = np.random.default_rng(0).integers(
+        0, 255, (40, 80, 3)).astype(np.uint8)
+    s = vcfg.image_size
+    grids = [(s, 2 * s), (2 * s, s)]
+    base = agent.build_multimodal_embeds([img], "q?")
+    any_e = agent.build_multimodal_embeds(
+        [img], "q?", image_aspect_ratio="anyres",
+        anyres_grid_pinpoints=grids)
+    n_img = feats.shape[1]
+    # 3 stacks (base + 2 patches) -> 2 extra image-token groups
+    assert any_e.shape[1] - base.shape[1] == 2 * n_img
