@@ -32,9 +32,12 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         act = ACT2FN[self.act_fn]
+        # fold SiLU into the fused GroupNorm apply pass (ops/groupnorm.py)
+        fused_act = self.act_fn if self.act_fn == "silu" else None
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, name="norm1")(x)
-        h = act(h)
+        h = GroupNorm(self.groups, self.eps, act=fused_act, name="norm1")(x)
+        if fused_act is None:
+            h = act(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(h)
         if temb is not None and self.use_time_emb:
@@ -42,8 +45,9 @@ class ResnetBlock2D(nn.Module):
                                  param_dtype=jnp.float32,
                                  name="time_emb_proj")(act(temb))
             h = h + temb_proj[:, None, None, :]
-        h = GroupNorm(self.groups, self.eps, name="norm2")(h)
-        h = act(h)
+        h = GroupNorm(self.groups, self.eps, act=fused_act, name="norm2")(h)
+        if fused_act is None:
+            h = act(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(h)
         if in_channels != self.out_channels:

@@ -58,8 +58,11 @@ class Encoder(nn.Module):
             groups=self.norm_num_groups, dtype=self.dtype, name="mid_block",
         )(x)
         if self.with_head:
-            x = GroupNorm(self.norm_num_groups, 1e-6, name="conv_norm_out")(x)
-            x = ACT2FN[self.act_fn](x)
+            x = GroupNorm(self.norm_num_groups, 1e-6,
+                          act=self.act_fn if self.act_fn == "silu" else None,
+                          name="conv_norm_out")(x)
+            if self.act_fn != "silu":
+                x = ACT2FN[self.act_fn](x)
             out_ch = 2 * self.latent_channels if self.double_z else self.latent_channels
             x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                         param_dtype=jnp.float32, name="conv_out")(x)
@@ -93,8 +96,11 @@ class Decoder(nn.Module):
                 add_upsample=not is_final, groups=self.norm_num_groups,
                 dtype=self.dtype, name=f"up_blocks_{i}",
             )(x)
-        x = GroupNorm(self.norm_num_groups, 1e-6, name="conv_norm_out")(x)
-        x = ACT2FN[self.act_fn](x)
+        x = GroupNorm(self.norm_num_groups, 1e-6,
+                      act=self.act_fn if self.act_fn == "silu" else None,
+                      name="conv_norm_out")(x)
+        if self.act_fn != "silu":
+            x = ACT2FN[self.act_fn](x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_out")(x)
         return x
