@@ -123,6 +123,7 @@ REFERENCE_METRICS = ("psnr", "ssim", "lpips", "dists", "niqe", "musiq",
 
 def metric_availability(
     learned: Dict[str, object], niqe_fn, fid_fn, has_gt: bool,
+    lpips_fn=None,
 ) -> Dict[str, str]:
     """For each reference metric: 'native', 'pyiqa', or the reason it is
     unavailable. The harness NEVER silently drops a reference metric."""
@@ -137,6 +138,9 @@ def metric_availability(
             avail[m] = ("native" if niqe_fn is not None else
                         "UNAVAILABLE: no pristine params "
                         "(fit with --fit_niqe_dir or install pyiqa weights)")
+        elif m == "lpips" and lpips_fn is not None:
+            avail[m] = ("native" if has_gt
+                        else "UNAVAILABLE: full-reference metric needs --gt_dir")
         elif m == "fid":
             if fid_fn is None:
                 avail[m] = ("UNAVAILABLE: no InceptionV3 weights "
@@ -159,10 +163,12 @@ def evaluate_dirs(
     use_learned: bool = True,
     niqe_params: Optional[str] = None,
     fid_weights: Optional[str] = None,
+    lpips_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     from PIL import Image
 
     from .fid import fid_from_features, make_fid_features
+    from .lpips import make_lpips
     from .niqe import make_niqe_metric
 
     sr_paths = sorted(sum([glob.glob(os.path.join(sr_dir, e))
@@ -170,7 +176,9 @@ def evaluate_dirs(
     learned = make_learned_metrics() if use_learned else {}
     niqe_fn = make_niqe_metric(niqe_params)
     fid_fn = make_fid_features(fid_weights)
-    avail = metric_availability(learned, niqe_fn, fid_fn, gt_dir is not None)
+    lpips_fn = make_lpips(lpips_weights)
+    avail = metric_availability(learned, niqe_fn, fid_fn, gt_dir is not None,
+                                lpips_fn)
     for m, status in sorted(avail.items()):
         print(f"[metric] {m}: {status}")
     rows: List[Dict[str, float]] = []
@@ -199,6 +207,8 @@ def evaluate_dirs(
                 row["niqe"] = niqe_fn(sr)
             except ValueError:
                 pass  # image smaller than the NIQE patch
+        if lpips_fn is not None and "lpips" not in learned and gt is not None:
+            row["lpips"] = lpips_fn(sr, gt)
         for mname, fn in learned.items():
             try:
                 needs_ref = mname in ("lpips", "dists")
@@ -253,6 +263,9 @@ def main(argv=None):
                    help="pristine-corpus npz (see --fit_niqe_dir)")
     p.add_argument("--fid_weights", default=None,
                    help="converted InceptionV3 weights (npz or torch pth)")
+    p.add_argument("--lpips_weights", default=None,
+                   help="converted LPIPS weights npz (eval/lpips.py "
+                        "convert_lpips)")
     p.add_argument("--fit_niqe_dir", default=None,
                    help="fit NIQE pristine params from this image dir, save "
                         "to --niqe_params, then exit")
@@ -274,5 +287,6 @@ def main(argv=None):
     means = evaluate_dirs(args.sr_dir, args.gt_dir, args.log,
                           use_learned=not args.no_learned,
                           niqe_params=args.niqe_params,
-                          fid_weights=args.fid_weights)
+                          fid_weights=args.fid_weights,
+                          lpips_weights=args.lpips_weights)
     print(json.dumps(means))
