@@ -123,7 +123,7 @@ REFERENCE_METRICS = ("psnr", "ssim", "lpips", "dists", "niqe", "musiq",
 
 def metric_availability(
     learned: Dict[str, object], niqe_fn, fid_fn, has_gt: bool,
-    lpips_fn=None,
+    lpips_fn=None, dists_fn=None,
 ) -> Dict[str, str]:
     """For each reference metric: 'native', 'pyiqa', or the reason it is
     unavailable. The harness NEVER silently drops a reference metric."""
@@ -138,7 +138,8 @@ def metric_availability(
             avail[m] = ("native" if niqe_fn is not None else
                         "UNAVAILABLE: no pristine params "
                         "(fit with --fit_niqe_dir or install pyiqa weights)")
-        elif m == "lpips" and lpips_fn is not None:
+        elif (m == "lpips" and lpips_fn is not None) or (
+                m == "dists" and dists_fn is not None):
             avail[m] = ("native" if has_gt
                         else "UNAVAILABLE: full-reference metric needs --gt_dir")
         elif m == "fid":
@@ -164,9 +165,11 @@ def evaluate_dirs(
     niqe_params: Optional[str] = None,
     fid_weights: Optional[str] = None,
     lpips_weights: Optional[str] = None,
+    dists_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     from PIL import Image
 
+    from .dists import make_dists
     from .fid import fid_from_features, make_fid_features
     from .lpips import make_lpips
     from .niqe import make_niqe_metric
@@ -177,8 +180,9 @@ def evaluate_dirs(
     niqe_fn = make_niqe_metric(niqe_params)
     fid_fn = make_fid_features(fid_weights)
     lpips_fn = make_lpips(lpips_weights)
+    dists_fn = make_dists(dists_weights)
     avail = metric_availability(learned, niqe_fn, fid_fn, gt_dir is not None,
-                                lpips_fn)
+                                lpips_fn, dists_fn)
     for m, status in sorted(avail.items()):
         print(f"[metric] {m}: {status}")
     rows: List[Dict[str, float]] = []
@@ -209,6 +213,8 @@ def evaluate_dirs(
                 pass  # image smaller than the NIQE patch
         if lpips_fn is not None and "lpips" not in learned and gt is not None:
             row["lpips"] = lpips_fn(sr, gt)
+        if dists_fn is not None and "dists" not in learned and gt is not None:
+            row["dists"] = dists_fn(sr, gt)
         for mname, fn in learned.items():
             try:
                 needs_ref = mname in ("lpips", "dists")
@@ -266,6 +272,9 @@ def main(argv=None):
     p.add_argument("--lpips_weights", default=None,
                    help="converted LPIPS weights npz (eval/lpips.py "
                         "convert_lpips)")
+    p.add_argument("--dists_weights", default=None,
+                   help="converted DISTS weights npz (eval/dists.py "
+                        "convert_dists)")
     p.add_argument("--fit_niqe_dir", default=None,
                    help="fit NIQE pristine params from this image dir, save "
                         "to --niqe_params, then exit")
@@ -288,5 +297,6 @@ def main(argv=None):
                           use_learned=not args.no_learned,
                           niqe_params=args.niqe_params,
                           fid_weights=args.fid_weights,
-                          lpips_weights=args.lpips_weights)
+                          lpips_weights=args.lpips_weights,
+                          dists_weights=args.dists_weights)
     print(json.dumps(means))
