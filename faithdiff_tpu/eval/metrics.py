@@ -4,8 +4,9 @@ Capability-equivalent to `/root/reference/test_metrics.py` (pyiqa-based):
 - PSNR / SSIM natively in JAX
 - NIQE natively (eval/niqe.py; pristine params fit via --fit_niqe_dir)
 - directory-level FID natively (eval/fid.py InceptionV3, weights-gated)
-- LPIPS / DISTS / MUSIQ / MANIQA / CLIPIQA+ / PAQ2PIQ via the optional
-  pyiqa passthrough when installed
+- LPIPS / DISTS natively (eval/{lpips,dists}.py, weights-gated)
+- CLIPIQA natively (eval/clipiqa.py full CLIP dual tower, weights-gated)
+- MUSIQ / MANIQA / PAQ2PIQ via the optional pyiqa passthrough when installed
 
 Every metric of the reference protocol appears in the output either with a
 value or an explicit `UNAVAILABLE: <reason>` line — a missing-dependency
@@ -123,7 +124,7 @@ REFERENCE_METRICS = ("psnr", "ssim", "lpips", "dists", "niqe", "musiq",
 
 def metric_availability(
     learned: Dict[str, object], niqe_fn, fid_fn, has_gt: bool,
-    lpips_fn=None, dists_fn=None,
+    lpips_fn=None, dists_fn=None, clipiqa_fn=None,
 ) -> Dict[str, str]:
     """For each reference metric: 'native', 'pyiqa', or the reason it is
     unavailable. The harness NEVER silently drops a reference metric."""
@@ -142,6 +143,10 @@ def metric_availability(
                 m == "dists" and dists_fn is not None):
             avail[m] = ("native" if has_gt
                         else "UNAVAILABLE: full-reference metric needs --gt_dir")
+        elif m == "clipiqa+_vitL14_512":
+            avail[m] = ("native" if clipiqa_fn is not None else
+                        "UNAVAILABLE: no CLIP weights (eval/clipiqa.npz with "
+                        "_prompt_ids/_prompt_embeds, or --clipiqa_weights)")
         elif m == "fid":
             if fid_fn is None:
                 avail[m] = ("UNAVAILABLE: no InceptionV3 weights "
@@ -166,9 +171,11 @@ def evaluate_dirs(
     fid_weights: Optional[str] = None,
     lpips_weights: Optional[str] = None,
     dists_weights: Optional[str] = None,
+    clipiqa_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     from PIL import Image
 
+    from .clipiqa import make_clipiqa
     from .dists import make_dists
     from .fid import fid_from_features, make_fid_features
     from .lpips import make_lpips
@@ -181,8 +188,9 @@ def evaluate_dirs(
     fid_fn = make_fid_features(fid_weights)
     lpips_fn = make_lpips(lpips_weights)
     dists_fn = make_dists(dists_weights)
+    clipiqa_fn = make_clipiqa(clipiqa_weights)
     avail = metric_availability(learned, niqe_fn, fid_fn, gt_dir is not None,
-                                lpips_fn, dists_fn)
+                                lpips_fn, dists_fn, clipiqa_fn)
     for m, status in sorted(avail.items()):
         print(f"[metric] {m}: {status}")
     rows: List[Dict[str, float]] = []
@@ -215,6 +223,8 @@ def evaluate_dirs(
             row["lpips"] = lpips_fn(sr, gt)
         if dists_fn is not None and "dists" not in learned and gt is not None:
             row["dists"] = dists_fn(sr, gt)
+        if clipiqa_fn is not None and "clipiqa+_vitL14_512" not in learned:
+            row["clipiqa+_vitL14_512"] = clipiqa_fn(sr)
         for mname, fn in learned.items():
             try:
                 needs_ref = mname in ("lpips", "dists")
@@ -275,6 +285,10 @@ def main(argv=None):
     p.add_argument("--dists_weights", default=None,
                    help="converted DISTS weights npz (eval/dists.py "
                         "convert_dists)")
+    p.add_argument("--clipiqa_weights", default=None,
+                   help="converted CLIP weights npz (eval/clipiqa.py "
+                        "convert_clip_model; carry _prompt_ids or "
+                        "_prompt_embeds in the npz)")
     p.add_argument("--fit_niqe_dir", default=None,
                    help="fit NIQE pristine params from this image dir, save "
                         "to --niqe_params, then exit")
@@ -298,5 +312,6 @@ def main(argv=None):
                           niqe_params=args.niqe_params,
                           fid_weights=args.fid_weights,
                           lpips_weights=args.lpips_weights,
-                          dists_weights=args.dists_weights)
+                          dists_weights=args.dists_weights,
+                          clipiqa_weights=args.clipiqa_weights)
     print(json.dumps(means))
