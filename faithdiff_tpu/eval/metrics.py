@@ -6,7 +6,12 @@ Capability-equivalent to `/root/reference/test_metrics.py` (pyiqa-based):
 - directory-level FID natively (eval/fid.py InceptionV3, weights-gated)
 - LPIPS / DISTS natively (eval/{lpips,dists}.py, weights-gated)
 - CLIPIQA natively (eval/clipiqa.py full CLIP dual tower, weights-gated)
-- MUSIQ / MANIQA / PAQ2PIQ via the optional pyiqa passthrough when installed
+- MUSIQ natively (eval/musiq.py multi-scale transformer, weights-gated)
+- PaQ-2-PiQ natively (eval/paq2piq.py ResNet-18 RoIPoolModel, weights-gated)
+- MANIQA natively (eval/maniqa.py ViT + TAB + Swin dual-branch, weights-gated)
+
+Every learned metric also keeps the optional pyiqa passthrough for
+cross-validation when that package is installed.
 
 Every metric of the reference protocol appears in the output either with a
 value or an explicit `UNAVAILABLE: <reason>` line — a missing-dependency
@@ -124,7 +129,8 @@ REFERENCE_METRICS = ("psnr", "ssim", "lpips", "dists", "niqe", "musiq",
 
 def metric_availability(
     learned: Dict[str, object], niqe_fn, fid_fn, has_gt: bool,
-    lpips_fn=None, dists_fn=None, clipiqa_fn=None,
+    lpips_fn=None, dists_fn=None, clipiqa_fn=None, musiq_fn=None,
+    paq2piq_fn=None, maniqa_fn=None,
 ) -> Dict[str, str]:
     """For each reference metric: 'native', 'pyiqa', or the reason it is
     unavailable. The harness NEVER silently drops a reference metric."""
@@ -147,6 +153,18 @@ def metric_availability(
             avail[m] = ("native" if clipiqa_fn is not None else
                         "UNAVAILABLE: no CLIP weights (eval/clipiqa.npz with "
                         "_prompt_ids/_prompt_embeds, or --clipiqa_weights)")
+        elif m == "musiq":
+            avail[m] = ("native" if musiq_fn is not None else
+                        "UNAVAILABLE: no MUSIQ weights (eval/musiq.npz or "
+                        "--musiq_weights)")
+        elif m == "paq2piq":
+            avail[m] = ("native" if paq2piq_fn is not None else
+                        "UNAVAILABLE: no PaQ-2-PiQ weights "
+                        "(eval/paq2piq.npz or --paq2piq_weights)")
+        elif m == "maniqa-pipal":
+            avail[m] = ("native" if maniqa_fn is not None else
+                        "UNAVAILABLE: no MANIQA weights (eval/maniqa.npz "
+                        "or --maniqa_weights)")
         elif m == "fid":
             if fid_fn is None:
                 avail[m] = ("UNAVAILABLE: no InceptionV3 weights "
@@ -155,8 +173,12 @@ def metric_availability(
                 avail[m] = "UNAVAILABLE: directory-level FID needs --gt_dir"
             else:
                 avail[m] = "native"
-        elif m in ("lpips", "dists") and not has_gt:
-            avail[m] = "UNAVAILABLE: full-reference metric needs --gt_dir"
+        elif m in ("lpips", "dists"):
+            avail[m] = (
+                "UNAVAILABLE: full-reference metric needs --gt_dir"
+                if not has_gt else
+                f"UNAVAILABLE: no {m.upper()} weights (eval/{m}.npz or "
+                f"--{m}_weights)")
         else:
             avail[m] = "UNAVAILABLE: needs pyiqa + pretrained weights"
     return avail
@@ -172,6 +194,9 @@ def evaluate_dirs(
     lpips_weights: Optional[str] = None,
     dists_weights: Optional[str] = None,
     clipiqa_weights: Optional[str] = None,
+    musiq_weights: Optional[str] = None,
+    paq2piq_weights: Optional[str] = None,
+    maniqa_weights: Optional[str] = None,
 ) -> Dict[str, float]:
     from PIL import Image
 
@@ -179,7 +204,10 @@ def evaluate_dirs(
     from .dists import make_dists
     from .fid import fid_from_features, make_fid_features
     from .lpips import make_lpips
+    from .maniqa import make_maniqa
+    from .musiq import make_musiq
     from .niqe import make_niqe_metric
+    from .paq2piq import make_paq2piq
 
     sr_paths = sorted(sum([glob.glob(os.path.join(sr_dir, e))
                            for e in ("*.png", "*.jpg", "*.jpeg")], []))
@@ -189,8 +217,12 @@ def evaluate_dirs(
     lpips_fn = make_lpips(lpips_weights)
     dists_fn = make_dists(dists_weights)
     clipiqa_fn = make_clipiqa(clipiqa_weights)
+    musiq_fn = make_musiq(musiq_weights)
+    paq2piq_fn = make_paq2piq(paq2piq_weights)
+    maniqa_fn = make_maniqa(maniqa_weights)
     avail = metric_availability(learned, niqe_fn, fid_fn, gt_dir is not None,
-                                lpips_fn, dists_fn, clipiqa_fn)
+                                lpips_fn, dists_fn, clipiqa_fn, musiq_fn,
+                                paq2piq_fn, maniqa_fn)
     for m, status in sorted(avail.items()):
         print(f"[metric] {m}: {status}")
     rows: List[Dict[str, float]] = []
@@ -225,6 +257,12 @@ def evaluate_dirs(
             row["dists"] = dists_fn(sr, gt)
         if clipiqa_fn is not None and "clipiqa+_vitL14_512" not in learned:
             row["clipiqa+_vitL14_512"] = clipiqa_fn(sr)
+        if musiq_fn is not None and "musiq" not in learned:
+            row["musiq"] = musiq_fn(sr)
+        if paq2piq_fn is not None and "paq2piq" not in learned:
+            row["paq2piq"] = paq2piq_fn(sr)
+        if maniqa_fn is not None and "maniqa-pipal" not in learned:
+            row["maniqa-pipal"] = maniqa_fn(sr)
         for mname, fn in learned.items():
             try:
                 needs_ref = mname in ("lpips", "dists")
@@ -289,6 +327,15 @@ def main(argv=None):
                    help="converted CLIP weights npz (eval/clipiqa.py "
                         "convert_clip_model; carry _prompt_ids or "
                         "_prompt_embeds in the npz)")
+    p.add_argument("--musiq_weights", default=None,
+                   help="converted MUSIQ weights npz (eval/musiq.py "
+                        "convert_musiq + save_musiq_weights)")
+    p.add_argument("--paq2piq_weights", default=None,
+                   help="converted PaQ-2-PiQ RoIPoolModel npz "
+                        "(eval/paq2piq.py convert_paq2piq)")
+    p.add_argument("--maniqa_weights", default=None,
+                   help="converted MANIQA npz (eval/maniqa.py "
+                        "convert_maniqa + save_maniqa_weights)")
     p.add_argument("--fit_niqe_dir", default=None,
                    help="fit NIQE pristine params from this image dir, save "
                         "to --niqe_params, then exit")
@@ -313,5 +360,8 @@ def main(argv=None):
                           fid_weights=args.fid_weights,
                           lpips_weights=args.lpips_weights,
                           dists_weights=args.dists_weights,
-                          clipiqa_weights=args.clipiqa_weights)
+                          clipiqa_weights=args.clipiqa_weights,
+                          musiq_weights=args.musiq_weights,
+                          paq2piq_weights=args.paq2piq_weights,
+                          maniqa_weights=args.maniqa_weights)
     print(json.dumps(means))

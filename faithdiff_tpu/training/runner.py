@@ -56,6 +56,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--pretrained_params_dir", default=None,
                    help="converted SDXL/stage-1 params to start from")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dataloader_workers", type=int, default=4,
+                   help="parallel sample-decode threads (0 = synchronous)")
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="batches prefetched ahead of the device step "
+                        "(0 = no background prefetch)")
     p.add_argument("--synthetic_data", action="store_true",
                    help="random data (smoke runs without a dataset)")
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
@@ -120,6 +125,32 @@ def _dataset_batches(args, cross_dim, pooled_dim,
                             seed=args.seed)
     stems = [os.path.splitext(os.path.basename(p))[0] for p in hr]
     provider = provider or _make_embed_provider(args, cross_dim, pooled_dim)
+
+    workers = getattr(args, "dataloader_workers", 0)
+    if workers > 0:
+        # parallel decode+augment with per-draw deterministic rng
+        from ..data.prefetch import ParallelSampleLoader
+
+        class _WithStem:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i, rng=None):
+                return ds.__getitem__(i, rng=rng), stems[i]
+
+        def _collate(pairs):
+            batch = collate([p[0] for p in pairs])
+            captions = batch.pop("captions")
+            batch["prompt_embeds"], batch["pooled_embeds"] = provider.batch(
+                [p[1] for p in pairs], captions)
+            return batch
+
+        yield from ParallelSampleLoader(
+            _WithStem(), args.train_batch_size, _collate, seed=args.seed,
+            num_workers=workers,
+            depth=max(1, getattr(args, "prefetch_depth", 2)))
+        return
+
     rng = np.random.default_rng(args.seed)
     n = len(ds)
     while True:
@@ -224,6 +255,11 @@ def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
             args.seed)
     else:
         batches = _dataset_batches(args, ucfg.cross_attention_dim, pooled_dim)
+    if getattr(args, "prefetch_depth", 0) > 0:
+        # overlap host-side batch production with the device step
+        from ..data.prefetch import PrefetchIterator
+
+        batches = PrefetchIterator(iter(batches), depth=args.prefetch_depth)
 
     from .logging import MetricLogger
 
@@ -294,17 +330,23 @@ def _run_validation(args, ucfg, vcfg, dcfg, state, vae_params, step):
         strip = np.concatenate(outs, axis=1)
         out_dir = os.path.join(args.output_dir, "validation")
         os.makedirs(out_dir, exist_ok=True)
-        Image.fromarray(strip).save(
-            os.path.join(out_dir, f"step_{step}.png"))
-        # MUSIQ quality signal when available (stage 2 protocol)
+        # MUSIQ quality signal, baked into the strip filename (the stage-2
+        # protocol, `train_SDXL_stage_2.py:182-194`): native eval/musiq.py
+        # when converted weights exist, pyiqa passthrough otherwise
+        name = f"step_{step}.png"
         try:
             from ..eval.metrics import make_learned_metrics
+            from ..eval.musiq import make_musiq
 
-            m = make_learned_metrics(("musiq",))
-            if "musiq" in m:
-                scores = [m["musiq"](o.astype(np.float32) / 255.0)
+            musiq_fn = make_musiq()
+            if musiq_fn is None:
+                musiq_fn = make_learned_metrics(("musiq",)).get("musiq")
+            if musiq_fn is not None:
+                scores = [musiq_fn(o.astype(np.float32) / 255.0)
                           for o in outs]
-                print(f"validation MUSIQ @ step {step}: "
-                      f"{np.mean(scores):.3f}")
+                mean = float(np.mean(scores))
+                print(f"validation MUSIQ @ step {step}: {mean:.3f}")
+                name = f"step_{step}_musiq{mean:.3f}.png"
         except Exception:
             pass
+        Image.fromarray(strip).save(os.path.join(out_dir, name))
