@@ -106,17 +106,20 @@ class LocalPairedDataset:
             text = f.read().strip()
         return trim_caption(text)
 
-    def __getitem__(self, idx: int) -> PairedSample:
+    def __getitem__(self, idx: int, rng=None) -> PairedSample:
         hr = np.asarray(Image.open(self.hr_paths[idx]).convert("RGB"))
         lr = np.asarray(Image.open(self.lr_paths[idx]).convert("RGB"))
         caption = self._load_caption(idx)
-        return self.prepare(hr, lr, caption, self.is_face[idx])
+        return self.prepare(hr, lr, caption, self.is_face[idx], rng=rng)
 
     def prepare(
         self, hr: np.ndarray, lr: np.ndarray, caption: str,
-        face: bool = False,
+        face: bool = False, rng=None,
     ) -> PairedSample:
-        rng = self.rng
+        # an explicit rng makes the draw independent of call order — the
+        # parallel-worker loader (data/prefetch.py) derives one per draw so
+        # results are reproducible at any worker count
+        rng = rng if rng is not None else self.rng
         size = self.resolution
         scale = self.scale
 
