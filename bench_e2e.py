@@ -57,11 +57,11 @@ def main(scenarios=("1024",)):
         img = rng.random((size, size, 3)).astype(np.float32)
 
         t0 = time.perf_counter()
-        out = pipe(img, pe, pooled, seed=0)
+        out = pipe(img, pe, pooled, seed=0, output_type="uint8")
         compile_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        out = pipe(img, pe, pooled, seed=1)
+        out = pipe(img, pe, pooled, seed=1, output_type="uint8")
         run_s = time.perf_counter() - t0
 
         print(json.dumps({

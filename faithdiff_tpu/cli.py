@@ -183,9 +183,10 @@ def cmd_restore(argv):
             neg_pe, neg_pooled = encode(args.negative_prompt)
         out = pipe(lr, pe, pooled, seed=args.seed,
                    negative_prompt_embeds=neg_pe,
-                   negative_pooled_prompt_embeds=neg_pooled)
+                   negative_pooled_prompt_embeds=neg_pooled,
+                   output_type="uint8")  # quantize on device: 4x readback
         out = out[:h0, :w0]  # crop the /8 padding back off
-        Image.fromarray(np.uint8(np.clip(out, 0, 1) * 255)).save(out_path)
+        Image.fromarray(out).save(out_path)
         print(f"restored {name} -> {out_path}")
 
 

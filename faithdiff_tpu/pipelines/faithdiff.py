@@ -97,7 +97,7 @@ class FaithDiffPipeline:
             self._denoise_loop,
             static_argnames=("layout", "num_steps", "guidance_scale",
                             "guidance_rescale", "add_sample", "pad_tiles",
-                            "tile_chunk"),
+                            "tile_chunk", "lazy_tiles"),
         )
         # decode + denormalize + color fix fused into one jit (separate
         # dispatches each pay the device-tunnel round-trip latency). The
@@ -105,9 +105,10 @@ class FaithDiffPipeline:
         # one program makes XLA keep too many tile buffers live (OOM at 4K+)
         # — there the decode runs tile-by-tile outside the fusion.
         self._jit_postprocess = jax.jit(
-            self._postprocess, static_argnames=("color_fix",))
+            self._postprocess, static_argnames=("color_fix", "to_uint8"))
         self._jit_denorm = jax.jit(self._denormalize_latents)
-        self._jit_finish = jax.jit(self._finish, static_argnames=("color_fix",))
+        self._jit_finish = jax.jit(
+            self._finish, static_argnames=("color_fix", "to_uint8"))
 
     def _denormalize_latents(self, latents):
         if self.latents_mean is not None and self.latents_std is not None:
@@ -116,7 +117,8 @@ class FaithDiffPipeline:
             return latents * std / self.vae_scaling_factor + mean
         return latents / self.vae_scaling_factor
 
-    def _finish(self, image_out, src, color_fix: str):
+    def _finish(self, image_out, src, color_fix: str,
+                to_uint8: bool = False):
         # keep the color transfer in the decode dtype (bf16 on TPU): fp32
         # doubles ~10 full-resolution buffers and OOMs at 4K+
         image_out = denormalize_from_diffusion(image_out)
@@ -125,12 +127,19 @@ class FaithDiffPipeline:
             image_out = wavelet_color_fix(image_out, src)
         elif color_fix == "adain":
             image_out = adain_color_fix(image_out, src)
+        if to_uint8:
+            # quantize on device: the host readback shrinks 4x (at 8K-class
+            # outputs the fp32 canvas is ~800 MB through the tunnel)
+            return jnp.round(
+                jnp.clip(image_out, 0.0, 1.0).astype(jnp.float32) * 255.0
+            ).astype(jnp.uint8)
         return image_out.astype(jnp.float32)
 
-    def _postprocess(self, vae_params, latents, src, color_fix: str):
+    def _postprocess(self, vae_params, latents, src, color_fix: str,
+                     to_uint8: bool = False):
         latents = self._denormalize_latents(latents)
         image_out = self.vae_decode(vae_params, latents)
-        return self._finish(image_out, src, color_fix)
+        return self._finish(image_out, src, color_fix, to_uint8)
 
     def _denoise_loop(
         self,
@@ -148,11 +157,18 @@ class FaithDiffPipeline:
         pad_tiles: int,
         tile_chunk: Optional[int] = None,
         step_indices: Optional[jax.Array] = None,
+        lazy_tiles: bool = False,
+        tile_offsets: Optional[jax.Array] = None,  # [Tp, 2] when lazy
     ) -> jax.Array:
         """`step_indices` (dynamic values, static length) selects which
         scheduler steps to run; None -> all `num_steps` in one scan. Large
         tile counts are driven per-step from the host so a single device
-        dispatch stays short (the device tunnel kills long dispatches)."""
+        dispatch stays short (the device tunnel kills long dispatches).
+
+        `lazy_tiles`: `image_latent_tiles` is the UNSPLIT [1, H, W, C]
+        feature map; each chunk's LQ tiles are dynamic-sliced on the fly
+        using `tile_offsets`. Materialising all T tiles up front is ~4x
+        the feature map (overlap 0.5) — several GB at 8K-class inputs."""
         sched = self.scheduler
         state = sched.set_timesteps(num_steps)
         t_count = layout.num_tiles
@@ -173,6 +189,19 @@ class FaithDiffPipeline:
         # at once — at 8K-class tile counts that duplication alone is GBs)
         ctx_c = jnp.tile(prompt_embeds, (chunk, 1, 1))
         pooled_c = jnp.tile(pooled_embeds, (chunk, 1))
+
+        k1, k2 = layout.kernel
+
+        def slice_lq(offsets_c):
+            """Chunk's LQ tiles from the unsplit feature map (lazy mode)."""
+            c = image_latent_tiles.shape[-1]
+
+            def one(off):
+                return jax.lax.dynamic_slice(
+                    image_latent_tiles, (0, off[0], off[1], 0),
+                    (1, k1, k2, c))[0]
+
+            return jax.vmap(one)(offsets_c)
 
         def run_unet(tiles_c, i, t, time_ids_c, img_c):
             """One UNet call over a chunk of tiles: duplicate to CFG pairs
@@ -197,17 +226,21 @@ class FaithDiffPipeline:
 
                 def per_chunk(args):
                     tl, ti, im = args
+                    if lazy_tiles:
+                        im = slice_lq(im)
                     return run_unet(tl, i, t, ti, im)
 
                 def r(x):
                     return x.reshape(n_chunks, chunk, *x.shape[1:])
 
+                lq = tile_offsets if lazy_tiles else image_latent_tiles
                 eps = jax.lax.map(
-                    per_chunk,
-                    (r(tiles), r(base_time_ids), r(image_latent_tiles)))
+                    per_chunk, (r(tiles), r(base_time_ids), r(lq)))
                 eps = eps.reshape(2 * t_pad, *eps.shape[2:])
             else:
-                eps = run_unet(tiles, i, t, base_time_ids, image_latent_tiles)
+                img_all = (slice_lq(tile_offsets) if lazy_tiles
+                           else image_latent_tiles)
+                eps = run_unet(tiles, i, t, base_time_ids, img_all)
             eps = eps.reshape(t_pad, 2, *eps.shape[1:])
             eps_uncond, eps_text = eps[:, 0], eps[:, 1]
             eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -244,7 +277,7 @@ class FaithDiffPipeline:
         color_fix: Optional[str] = None,
         seed: int = 0,
         latents: Optional[jax.Array] = None,
-        output_type: str = "np",
+        output_type: str = "np",   # "np" float [0,1] | "uint8" | "latent"
         noise_source: str = "jax",
     ) -> np.ndarray:
         cfg = self.config
@@ -278,7 +311,14 @@ class FaithDiffPipeline:
         # LQ features via denoise_encoder (`prepare_image_latents`, :950-1004)
         image_latents = self.denoise_encoder_apply(
             self.denoise_encoder_params, image)
-        image_latent_tiles = split_tiles(image_latents, layout)
+        # lazy mode: above the chunk threshold keep the feature map unsplit
+        # and slice per-chunk inside the loop — materialising every tile is
+        # ~4x the map (overlap 0.5), an OOM at 8K-class tile counts
+        lazy_tiles = (self.tile_chunk is not None
+                      and layout.num_tiles > self.tile_chunk
+                      and self.tile_sharding is None)
+        image_latent_tiles = (image_latents if lazy_tiles
+                              else split_tiles(image_latents, layout))
 
         # initial latents (`prepare_latents`, :819-835)
         state = self.scheduler.set_timesteps(num_inference_steps)
@@ -336,12 +376,16 @@ class FaithDiffPipeline:
             if layout.num_tiles > self.tile_chunk:
                 pad_base = self.tile_chunk
         pad_tiles = (-layout.num_tiles) % pad_base
+        tile_offsets = np.asarray(layout.offsets, np.int32)    # [T, 2]
         if pad_tiles:
             idx = np.arange(pad_tiles) % layout.num_tiles
-            image_latent_tiles = jnp.concatenate(
-                [image_latent_tiles, image_latent_tiles[idx]], axis=0)
+            if not lazy_tiles:
+                image_latent_tiles = jnp.concatenate(
+                    [image_latent_tiles, image_latent_tiles[idx]], axis=0)
             base_time_ids = np.concatenate(
                 [base_time_ids, base_time_ids[idx]], axis=0)
+            tile_offsets = np.concatenate(
+                [tile_offsets, tile_offsets[idx]], axis=0)
         if self.tile_sharding is not None:
             image_latent_tiles = jax.device_put(
                 image_latent_tiles, self.tile_sharding)
@@ -352,14 +396,16 @@ class FaithDiffPipeline:
             float(guidance_scale), float(guidance_rescale), bool(add_sample),
             pad_tiles, self.tile_chunk,
         )
+        common_kw = dict(lazy_tiles=lazy_tiles,
+                         tile_offsets=jnp.asarray(tile_offsets))
         if layout.num_tiles > self.host_loop_tile_threshold:
             # per-step dispatches (dynamic step index, one compile)
             for i in range(num_inference_steps):
                 args = (common_args[0], latents) + common_args[2:]
                 latents = self._jit_denoise(
-                    *args, step_indices=jnp.asarray([i]))
+                    *args, step_indices=jnp.asarray([i]), **common_kw)
         else:
-            latents = self._jit_denoise(*common_args)
+            latents = self._jit_denoise(*common_args, **common_kw)
 
         # free the LQ-feature tiles before decode (870 MB at 4K-class sizes)
         del common_args, image_latent_tiles
@@ -368,13 +414,16 @@ class FaithDiffPipeline:
             return latents
 
         # denormalize + decode + color fix (`:1423-1452`)
+        to_uint8 = output_type == "uint8"
         src = jnp.asarray(lr_image, jnp.float32)[None]
         if self.config.use_tiled_vae:
             # tile-by-tile decode outside the fusion (memory-bounded)
             latents = self._jit_denorm(latents)
             image_out = self.vae_decode(self.vae_params, latents)
-            image_out = self._jit_finish(image_out, src, color_fix=color_fix)
+            image_out = self._jit_finish(image_out, src, color_fix=color_fix,
+                                         to_uint8=to_uint8)
         else:
             image_out = self._jit_postprocess(
-                self.vae_params, latents, src, color_fix=color_fix)
+                self.vae_params, latents, src, color_fix=color_fix,
+                to_uint8=to_uint8)
         return np.asarray(image_out[0])

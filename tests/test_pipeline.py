@@ -76,6 +76,19 @@ def test_pipeline_latent_output_and_color_fix_modes(pipe):
         assert out.shape == (64, 64, 3)
 
 
+def test_pipeline_uint8_output_matches_float(pipe):
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(9).random((64, 64, 3)).astype(np.float32)
+    f = pipe(img, pe, pooled, num_inference_steps=2, seed=3)
+    u = pipe(img, pe, pooled, num_inference_steps=2, seed=3,
+             output_type="uint8")
+    assert u.dtype == np.uint8 and u.shape == f.shape
+    # device-side quantization == host-side quantization of the float path
+    np.testing.assert_array_equal(
+        u, np.round(np.clip(f, 0, 1) * 255).astype(np.uint8))
+
+
 def test_pipeline_rejects_unpadded_input(pipe):
     cfg = tiny_unet_config()
     pe, pooled = _embeds(cfg)
