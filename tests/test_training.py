@@ -172,3 +172,54 @@ def test_zero_style_optimizer_sharding():
     assert specs["b"].spec == P()
     sharded = jax.tree.map(jax.device_put, tree, specs)
     assert len(sharded["a"].sharding.device_set) == 8
+
+
+def test_run_validation_strip_and_musiq_filename(tmp_path, monkeypatch):
+    """_run_validation saves a strip image; with a MUSIQ scorer available
+    the mean score is baked into the filename (stage-2 protocol)."""
+    import argparse
+    import glob
+
+    from PIL import Image
+
+    import faithdiff_tpu.eval.musiq as musiq_mod
+    from faithdiff_tpu.training.runner import _run_validation
+
+    ucfg = tiny_unet_config()
+    dcfg = tiny_denoise_encoder_config()
+    vcfg = tiny_vae_config()
+    unet = UNet2DConditionModel(config=ucfg)
+    de = DenoiseEncoder(config=dcfg)
+    vae = AutoencoderKL(config=vcfg)
+    s = 32
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(
+        rng, jnp.zeros((1, s // 8, s // 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)), jnp.zeros((1, 64)),
+        jnp.zeros((1, 6)),
+        jnp.zeros((1, s // 8, s // 8, ucfg.condition_channels)))
+    de_params = de.init(rng, jnp.zeros((1, s, s, 3)))
+    vae_params = vae.init(rng, jnp.zeros((1, s, s, 3)))
+    cfg = TrainConfig(stage=1, max_train_steps=5, lr_warmup_steps=0)
+    state, _ = init_train_state(cfg, unet_params, de_params)
+
+    val_dir = tmp_path / "val"
+    val_dir.mkdir()
+    r = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(np.uint8(r.uniform(size=(40, 40, 3)) * 255)).save(
+            val_dir / f"{i}.png")
+    args = argparse.Namespace(val_dir=str(val_dir), val_num_images=2,
+                              resolution=s, output_dir=str(tmp_path))
+    monkeypatch.setattr(musiq_mod, "make_musiq", lambda *a, **k: None)
+    _run_validation(args, ucfg, vcfg, dcfg, state, vae_params, step=7)
+    strips = glob.glob(str(tmp_path / "validation" / "*.png"))
+    assert len(strips) == 1 and strips[0].endswith("step_7.png")
+    strip = np.asarray(Image.open(strips[0]))
+    assert strip.shape == (s, 2 * s, 3)
+
+    # with a MUSIQ scorer: filename carries the mean score
+    monkeypatch.setattr(musiq_mod, "make_musiq",
+                        lambda *a, **k: (lambda img: 42.5))
+    _run_validation(args, ucfg, vcfg, dcfg, state, vae_params, step=8)
+    assert (tmp_path / "validation" / "step_8_musiq42.500.png").exists()
