@@ -24,9 +24,8 @@ import queue
 import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Sequence
 
-import numpy as np
 
 _SENTINEL = object()
 

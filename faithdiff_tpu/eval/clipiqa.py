@@ -21,7 +21,7 @@ CLIPIQA+ learned prompts are supported by passing prompt *embeddings*
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
