@@ -107,8 +107,6 @@ class FaithDiffPipeline:
         self._jit_postprocess = jax.jit(
             self._postprocess, static_argnames=("color_fix", "to_uint8"))
         self._jit_denorm = jax.jit(self._denormalize_latents)
-        self._jit_finish = jax.jit(
-            self._finish, static_argnames=("color_fix", "to_uint8"))
 
     def _denormalize_latents(self, latents):
         if self.latents_mean is not None and self.latents_std is not None:
@@ -415,15 +413,19 @@ class FaithDiffPipeline:
 
         # denormalize + decode + color fix (`:1423-1452`)
         to_uint8 = output_type == "uint8"
-        src = jnp.asarray(lr_image, jnp.float32)[None]
         if self.config.use_tiled_vae:
-            # tile-by-tile decode outside the fusion (memory-bounded)
+            # tile-by-tile decode outside the fusion (memory-bounded), then
+            # STREAMING color fix assembled on host: the one-fusion fix
+            # holds ~10 full-res buffers live and OOMs at 8192²
+            from ..utils.color_fix import streaming_color_fix
+
             latents = self._jit_denorm(latents)
             image_out = self.vae_decode(self.vae_params, latents)
-            image_out = self._jit_finish(image_out, src, color_fix=color_fix,
-                                         to_uint8=to_uint8)
-        else:
-            image_out = self._jit_postprocess(
-                self.vae_params, latents, src, color_fix=color_fix,
-                to_uint8=to_uint8)
+            return streaming_color_fix(
+                image_out, np.asarray(lr_image, np.float32),
+                mode=color_fix, to_uint8=to_uint8, denorm=True)
+        src = jnp.asarray(lr_image, jnp.float32)[None]
+        image_out = self._jit_postprocess(
+            self.vae_params, latents, src, color_fix=color_fix,
+            to_uint8=to_uint8)
         return np.asarray(image_out[0])

@@ -91,3 +91,123 @@ def wavelet_color_fix(target: jax.Array, source: jax.Array) -> jax.Array:
 
 def adain_color_fix(target: jax.Array, source: jax.Array) -> jax.Array:
     return jnp.clip(adaptive_instance_normalization(target, source), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# streaming (tiled) color fix for 8K-class outputs
+# ---------------------------------------------------------------------------
+#
+# The one-fusion color fix holds ~10 full-resolution buffers live — an HBM
+# OOM at 8192² (403 MB per bf16 buffer). The wavelet transfer is spatially
+# LOCAL: 5 dilated 3x3 levels reach at most sum(2^i, i<5) = 31 px, so a
+# 32-px halo makes per-tile results bit-identical to the full-image op for
+# every kept pixel (replicate padding only ever lands in the discarded
+# halo, or on a true image edge where the full-image op replicates too).
+# AdaIN needs only global per-channel moments, which stream exactly.
+
+_HALO = 32
+
+
+def _tile_fn(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
+             denorm: bool = False):
+    def tile_fix(tgt_win, src_win, oy, ox, stats=None):
+        if denorm:
+            # [-1, 1] decode output -> [0, 1] (the `_finish` semantics)
+            tgt_win = jnp.clip(tgt_win / 2.0 + 0.5, 0.0, 1.0)
+        if mode == "wavelet":
+            high, _ = wavelet_decomposition(tgt_win[None])
+            _, low = wavelet_decomposition(
+                src_win[None].astype(tgt_win.dtype))
+            out = jnp.clip(high + low, 0.0, 1.0)[0]
+        else:
+            t_mean, t_std, s_mean, s_std = stats
+            out = (tgt_win.astype(jnp.float32) - t_mean) / t_std \
+                * s_std + s_mean
+            out = jnp.clip(out, 0.0, 1.0)
+        out = jax.lax.dynamic_slice(
+            out, (oy, ox, 0), (crop_h, crop_w, out.shape[-1]))
+        if to_uint8:
+            return jnp.round(out.astype(jnp.float32) * 255.0
+                             ).astype(jnp.uint8)
+        return out.astype(jnp.float32)
+
+    return tile_fix
+
+
+def _moments(x: jax.Array):
+    """Per-channel sum / sum-of-squares over one [h, w, C] tile."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf, axis=(0, 1)), jnp.sum(jnp.square(xf), axis=(0, 1))
+
+
+def streaming_color_fix(
+    target: jax.Array,            # [1, H, W, C] on device (decode dtype)
+    source: np.ndarray,           # [H, W, C] float in [0, 1] on host
+    mode: str = "wavelet",
+    tile: int = 2048,
+    to_uint8: bool = False,
+    denorm: bool = False,
+) -> np.ndarray:
+    """Tile-streamed color fix, assembled into a HOST canvas.
+
+    Device working set stays at one (tile+2*halo)-sized window; the full-
+    resolution canvas only ever exists in host memory. Returns [H, W, C]
+    uint8 (to_uint8) or float32. Wavelet mode equals `wavelet_color_fix`
+    exactly on every pixel; AdaIN uses exact streamed global moments.
+    `mode="nofix"` just crops/quantizes tile by tile."""
+    _, h, w, c = target.shape
+    target = target[0]
+    tile = min(tile, h, w)
+    win_h = min(tile + 2 * _HALO, h)
+    win_w = min(tile + 2 * _HALO, w)
+    fn = jax.jit(_tile_fn("wavelet" if mode == "wavelet" else "adain",
+                          to_uint8, tile, tile, denorm))
+
+    stats = None
+    if mode != "wavelet":
+        # pass 1: exact global moments, streamed tile by tile (identity
+        # stats for "nofix" so the same tile program quantizes/crops)
+        if mode == "adain":
+            mom = jax.jit(_moments)
+            acc = np.zeros((2, 2, c), np.float64)  # [tgt/src, sum/sq, C]
+            for y0 in range(0, h, tile):
+                for x0 in range(0, w, tile):
+                    tgt_t = target[y0:min(y0 + tile, h),
+                                   x0:min(x0 + tile, w)]
+                    if denorm:
+                        tgt_t = jnp.clip(tgt_t / 2.0 + 0.5, 0.0, 1.0)
+                    src_t = jnp.asarray(
+                        source[y0:min(y0 + tile, h), x0:min(x0 + tile, w)])
+                    for k, t in ((0, tgt_t), (1, src_t)):
+                        s, ss = mom(t)
+                        acc[k, 0] += np.asarray(s, np.float64)
+                        acc[k, 1] += np.asarray(ss, np.float64)
+            n = h * w
+            means = acc[:, 0] / n
+            stds = np.sqrt(
+                (acc[:, 1] - n * means ** 2) / max(n - 1, 1) + 1e-5)
+            stats = tuple(jnp.asarray(a, jnp.float32) for a in
+                          (means[0], stds[0], means[1], stds[1]))
+        else:   # nofix: identity affine
+            zero = jnp.zeros((c,), jnp.float32)
+            one = jnp.ones((c,), jnp.float32)
+            stats = (zero, one, zero, one)
+
+    out = np.empty((h, w, c), np.uint8 if to_uint8 else np.float32)
+    for y0 in range(0, h, tile):
+        for x0 in range(0, w, tile):
+            th = min(tile, h - y0)
+            tw = min(tile, w - x0)
+            wy = min(max(y0 - _HALO, 0), h - win_h)
+            wx = min(max(x0 - _HALO, 0), w - win_w)
+            tgt_win = jax.lax.dynamic_slice(
+                target, (wy, wx, 0), (win_h, win_w, c))
+            src_win = jnp.asarray(source[wy:wy + win_h, wx:wx + win_w])
+            # clamp the crop start so a full tile-sized slice fits the
+            # window; trim the residual offset on the host
+            oy = min(y0 - wy, win_h - tile)
+            ox = min(x0 - wx, win_w - tile)
+            dy, dx = (y0 - wy) - oy, (x0 - wx) - ox
+            res = np.asarray(fn(tgt_win, src_win, oy, ox, stats=stats))
+            out[y0:y0 + th, x0:x0 + tw] = res[dy:dy + th, dx:dx + tw]
+    return out

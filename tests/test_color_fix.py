@@ -101,3 +101,33 @@ def test_wavelet_fix_transfers_low_freq_color():
     source[..., 1] = 0.9
     out = np.asarray(wavelet_color_fix(jnp.asarray(target), jnp.asarray(source)))
     assert out[..., 1].mean() > out[..., 0].mean() + 0.5
+
+
+def test_streaming_color_fix_matches_full():
+    """Tile-streamed fix == one-fusion fix exactly (wavelet halo proof),
+    including edge tiles, adain global stats, denorm and uint8 paths."""
+    import jax.numpy as jnp
+
+    from faithdiff_tpu.utils.color_fix import (adain_color_fix,
+                                               streaming_color_fix,
+                                               wavelet_color_fix)
+
+    rng = np.random.default_rng(0)
+    h, w = 150, 98                     # non-square, non-multiple of tile
+    tgt = rng.uniform(size=(1, h, w, 3)).astype(np.float32)
+    src = rng.uniform(size=(h, w, 3)).astype(np.float32)
+
+    full_w = np.asarray(wavelet_color_fix(jnp.asarray(tgt), jnp.asarray(src)[None]))[0]
+    got_w = streaming_color_fix(jnp.asarray(tgt), src, "wavelet", tile=64)
+    np.testing.assert_allclose(got_w, full_w, atol=1e-6)
+
+    full_a = np.asarray(adain_color_fix(jnp.asarray(tgt), jnp.asarray(src)[None]))[0]
+    got_a = streaming_color_fix(jnp.asarray(tgt), src, "adain", tile=64)
+    np.testing.assert_allclose(got_a, full_a, atol=1e-5)
+
+    # nofix + denorm + uint8: quantized clip((x/2+.5))
+    tgt2 = (tgt * 2.0 - 1.0).astype(np.float32)
+    got_u = streaming_color_fix(jnp.asarray(tgt2), src, "nofix", tile=64,
+                                to_uint8=True, denorm=True)
+    want_u = np.round(np.clip(tgt2[0] / 2 + 0.5, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(got_u, want_u)
