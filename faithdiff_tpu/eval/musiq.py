@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -153,7 +153,6 @@ def tokenize_multiscale(img: np.ndarray, cfg: MUSIQConfig
 
     The native scale is centrally cropped to at most `max_tokens` minus the
     fixed-size resized scales' budget, preferring full coverage."""
-    scales: List[np.ndarray] = []
     budget = cfg.max_tokens
     resized = [_arp_resize(img, s) for s in cfg.scale_longer_sides]
     fixed = sum((-(-r.shape[0] // cfg.patch_size))
