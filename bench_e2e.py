@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(scenarios=("1024",)):
+def main(scenarios=("1024",), overlap=None, steps=20):
+    """`overlap`/`steps` override the reference defaults (0.5 / 20) — the
+    documented "fast mode" trade-off is overlap 0.25 + 10 steps."""
     from faithdiff_tpu.config import PipelineConfig
     from faithdiff_tpu.pipelines.factory import build_pipeline
     from faithdiff_tpu.utils.profiling import device_sync
@@ -44,11 +46,13 @@ def main(scenarios=("1024",)):
             import gc
 
             gc.collect()
+        kw = {} if overlap is None else {"tile_overlap": overlap}
         pipe = build_pipeline(
             pipeline_config=PipelineConfig(
-                num_inference_steps=20,
+                num_inference_steps=steps,
                 # 4K-class and above: tiled VAE/denoise-encoder (memory)
                 use_tiled_vae=size >= 4096,
+                **kw,
             ),
             dtype=dtype,
             tile_chunk=2 if size >= 4096 else 4,
@@ -64,8 +68,10 @@ def main(scenarios=("1024",)):
         out = pipe(img, pe, pooled, seed=1, output_type="uint8")
         run_s = time.perf_counter() - t0
 
+        tag = f"{size}_{steps}steps" + (
+            "" if overlap is None else f"_ov{overlap}")
         print(json.dumps({
-            "metric": f"e2e_restore_{size}_20steps",
+            "metric": f"e2e_restore_{tag}",
             "value": round(run_s, 2),
             "unit": "s",
             "images_per_min": round(60.0 / run_s, 2),
@@ -75,4 +81,11 @@ def main(scenarios=("1024",)):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ("1024",))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scenarios", nargs="*", default=["1024"])
+    ap.add_argument("--overlap", type=float, default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    a = ap.parse_args()
+    main(tuple(a.scenarios), overlap=a.overlap, steps=a.steps)
