@@ -38,6 +38,9 @@ def _add_restore_args(p: argparse.ArgumentParser):
                    default="wavelet")
     p.add_argument("--start_point", choices=["lr", "noise"], default="lr")
     p.add_argument("--use_tile_vae", action="store_true")
+    p.add_argument("--use_fp8", action="store_true",
+                   help="store UNet weights as float8 (min-HBM mode, "
+                        "mirrors the reference --use_fp8)")
     p.add_argument("--hdr", type=float, default=0.0)
     p.add_argument("--checkpoint_dir", default=None,
                    help="dir with converted params (unet/ vae/ denoise_encoder/ text_encoder*/); omit for random init")
@@ -88,6 +91,7 @@ def load_checkpointed_pipeline(args):
         kwargs = dict(dtype=jnp.bfloat16)
     return build_pipeline(
         pipeline_config=pipeline_config,
+        use_fp8=getattr(args, "use_fp8", False),
         unet_params=wrap(maybe("unet")),
         vae_params=wrap(maybe("vae")),
         denoise_encoder_params=wrap(maybe("denoise_encoder")),

@@ -36,9 +36,16 @@ def build_pipeline(
     tile_sharding=None,
     tile_devices: int = 1,
     tile_chunk=None,
+    use_fp8: bool = False,
 ) -> FaithDiffPipeline:
     """Build the pipeline; any params left None are randomly initialised
-    (tiny shapes) — useful for dry runs and benchmarks without checkpoints."""
+    (tiny shapes) — useful for dry runs and benchmarks without checkpoints.
+
+    `use_fp8` mirrors the reference's `--use_fp8` min-VRAM flag
+    (`/root/reference/README.md:60`, ~5 GB mode): UNet weights are STORED
+    as float8_e4m3fn (2.6 GB vs 5.2 GB bf16) and upcast to the compute
+    dtype inside the jitted apply — XLA fuses the converts per consumer,
+    so the bf16 copies are transient, not resident."""
     unet = UNet2DConditionModel(config=unet_config, dtype=dtype)
     vae = AutoencoderKL(config=vae_config, dtype=dtype)
     denoise_encoder = DenoiseEncoder(config=denoise_encoder_config, dtype=dtype)
@@ -73,11 +80,19 @@ def build_pipeline(
         unet_params = cast(unet_params)
         vae_params = cast(vae_params)
         denoise_encoder_params = cast(denoise_encoder_params)
+    if use_fp8:
+        from ..utils.quantize import dequantize_params, quantize_params_fp8
+
+        unet_params = quantize_params_fp8(unet_params)
 
     scaling = vae_config.scaling_factor
 
     def unet_apply(params, sample, t, ctx, pooled, time_ids, cond,
                    add_sample, fusion_group_size):
+        if use_fp8:
+            # upcast inside the jit: float8 has no implicit promotion, and
+            # per-consumer convert fusion keeps bf16 copies transient
+            params = dequantize_params(params, dtype)
         return unet.apply(params, sample, t, ctx, pooled, time_ids, cond,
                           add_sample=add_sample,
                           fusion_group_size=fusion_group_size)

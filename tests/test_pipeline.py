@@ -89,6 +89,27 @@ def test_pipeline_uint8_output_matches_float(pipe):
         u, np.round(np.clip(f, 0, 1) * 255).astype(np.uint8))
 
 
+def test_pipeline_fp8_weight_storage():
+    """use_fp8: UNet weights stored as float8, pipeline still restores
+    (upcast inside the jit), output close to the bf16-storage pipeline."""
+    import jax.numpy as jnp
+
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(3).random((64, 64, 3)).astype(np.float32)
+    p8 = build_tiny_pipeline(use_fp8=True)
+    dtypes = {str(l.dtype) for l in jax.tree.leaves(p8.unet_params)}
+    assert "float8_e4m3fn" in dtypes            # weights actually fp8
+    out8 = p8(img, pe, pooled, num_inference_steps=2, seed=3)
+    assert out8.shape == (64, 64, 3) and np.isfinite(out8).all()
+    pf = build_tiny_pipeline()
+    outf = pf(img, pe, pooled, num_inference_steps=2, seed=3)
+    # fp8 weights perturb the result but must stay in the same regime
+    assert float(np.abs(out8 - outf).mean()) < 0.15
+
+
 def test_pipeline_rejects_unpadded_input(pipe):
     cfg = tiny_unet_config()
     pe, pooled = _embeds(cfg)
