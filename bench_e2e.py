@@ -23,9 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(scenarios=("1024",), overlap=None, steps=20):
+def main(scenarios=("1024",), overlap=None, steps=20, use_fp8=False):
     """`overlap`/`steps` override the reference defaults (0.5 / 20) — the
-    documented "fast mode" trade-off is overlap 0.25 + 10 steps."""
+    documented "fast mode" trade-off is overlap 0.25 + 10 steps.
+    `use_fp8` measures the min-HBM weight-storage mode."""
     from faithdiff_tpu.config import PipelineConfig
     from faithdiff_tpu.pipelines.factory import build_pipeline
     from faithdiff_tpu.utils.profiling import device_sync
@@ -56,6 +57,7 @@ def main(scenarios=("1024",), overlap=None, steps=20):
             ),
             dtype=dtype,
             tile_chunk=2 if size >= 4096 else 4,
+            use_fp8=use_fp8,
         )
         rng = np.random.default_rng(0)
         img = rng.random((size, size, 3)).astype(np.float32)
@@ -69,7 +71,8 @@ def main(scenarios=("1024",), overlap=None, steps=20):
         run_s = time.perf_counter() - t0
 
         tag = f"{size}_{steps}steps" + (
-            "" if overlap is None else f"_ov{overlap}")
+            "" if overlap is None else f"_ov{overlap}") + (
+            "_fp8" if use_fp8 else "")
         print(json.dumps({
             "metric": f"e2e_restore_{tag}",
             "value": round(run_s, 2),
@@ -87,5 +90,7 @@ if __name__ == "__main__":
     ap.add_argument("scenarios", nargs="*", default=["1024"])
     ap.add_argument("--overlap", type=float, default=None)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--use_fp8", action="store_true")
     a = ap.parse_args()
-    main(tuple(a.scenarios), overlap=a.overlap, steps=a.steps)
+    main(tuple(a.scenarios), overlap=a.overlap, steps=a.steps,
+         use_fp8=a.use_fp8)
