@@ -100,6 +100,12 @@ def main():
     jstep = jax.jit(step, donate_argnums=(0,))
     print("compiling train step (fwd+bwd)...", flush=True)
     t0 = time.perf_counter()
+    compiled = jstep.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    cost = compiled.cost_analysis()
+    flops = float(cost.get("flops", 0.0))
+    print(f"cost_analysis: {flops / 1e12:.2f} TF/step, "
+          f"{float(cost.get('bytes accessed', 0.0)) / 1e9:.1f} GB accessed",
+          flush=True)
     state, metrics = jstep(state, batch, jax.random.PRNGKey(1))
     loss = float(metrics["loss"])
     print(f"compile+first step {time.perf_counter() - t0:.1f}s "
@@ -111,8 +117,10 @@ def main():
     loss = float(metrics["loss"])  # readback = sync
     ms = (time.perf_counter() - t0) / args.iters * 1e3
     eff_batch = 256  # reference recipe: 16/dev x 4 dev x 4 accum
+    mfu = flops / (ms / 1e3) / 197e12 * 100 if flops else 0.0
     print(f"stage-{args.stage} train step, batch {b} @ {s}px: "
-          f"{ms:.1f} ms/step ({ms / b:.1f} ms/sample) loss={loss:.4f}")
+          f"{ms:.1f} ms/step ({ms / b:.1f} ms/sample) loss={loss:.4f} "
+          f"MFU={mfu:.1f}% (incl. remat recompute as useful FLOPs)")
     print(f"-> reference effective batch {eff_batch}: "
           f"{ms / b * eff_batch / 1e3:.1f} s/optimizer-step on ONE chip, "
           f"/8 on a v5e-8 data-parallel mesh")
