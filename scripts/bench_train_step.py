@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--stage", type=int, default=1)
+    ap.add_argument("--no_remat", action="store_true",
+                    help="store activations instead of recomputing — the "
+                    "trainable-partition split freed enough HBM to try")
     args = ap.parse_args()
     assert jax.devices()[0].platform == "tpu", jax.devices()
 
@@ -46,7 +49,7 @@ def main():
     from faithdiff_tpu.training.train import init_train_state, make_train_step
 
     dtype = jnp.bfloat16
-    ucfg = dataclasses.replace(UNetConfig(), remat=True)
+    ucfg = dataclasses.replace(UNetConfig(), remat=not args.no_remat)
     unet = UNet2DConditionModel(config=ucfg, dtype=dtype)
     de = DenoiseEncoder(config=DenoiseEncoderConfig(), dtype=dtype)
     vcfg = VAEConfig()
