@@ -220,3 +220,27 @@ def serve(controller: Controller, host: str = "127.0.0.1",
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+def main(argv=None):
+    import argparse
+    import time as _time
+
+    p = argparse.ArgumentParser("faithdiff-controller")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=10000)
+    p.add_argument("--dispatch", choices=["lottery", "shortest_queue"],
+                   default="shortest_queue")
+    args = p.parse_args(argv)
+    controller = Controller(dispatch_method=args.dispatch)
+    serve(controller, args.host, args.port)
+    print(f"controller at http://{args.host}:{args.port}", flush=True)
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        controller.stop()
+
+
+if __name__ == "__main__":
+    main()

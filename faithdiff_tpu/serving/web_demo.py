@@ -143,3 +143,72 @@ def serve(app: DemoApp, host: str = "0.0.0.0",
     thread.start()
     print(f"demo at http://{host}:{port}")
     return server
+
+
+def main(argv=None):
+    """Browser demo over a real restore pipeline
+    (`/root/reference/gradio_demo.py` role; --tiny for a smoke run)."""
+    import argparse
+    import time as _time
+    import types
+
+    import numpy as np
+
+    p = argparse.ArgumentParser("faithdiff-web-demo")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--use_fp8", action="store_true")
+    p.add_argument("--use_tile_vae", action="store_true")
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    a = p.parse_args(argv)
+
+    from ..cli import _make_text_encoder, _zero_embeds, load_checkpointed_pipeline
+
+    pargs = types.SimpleNamespace(
+        num_inference_steps=a.num_inference_steps, guidance_scale=5.0,
+        latent_tiled_size=1024, latent_tiled_overlap=0.5,
+        start_point="lr", color_fix="wavelet",
+        use_tile_vae=a.use_tile_vae, use_fp8=a.use_fp8, tiny=a.tiny,
+        checkpoint_dir=a.checkpoint_dir, tokenizer_dir=a.tokenizer_dir,
+        tile_devices=1)
+    pipe = load_checkpointed_pipeline(pargs)
+    encode = _make_text_encoder(pargs)
+    cross_dim, pooled_dim = (64, 64) if a.tiny else (2048, 1280)
+
+    def restore_fn(img_u8, caption, **opts):
+        from ..utils.image import (check_image_size, create_hdr_effect,
+                                   resize_lanczos)
+
+        if opts.get("hdr", 0.0) > 0:
+            img_u8 = create_hdr_effect(img_u8, opts["hdr"])
+        up = int(opts.get("upscale", 2))
+        h, w = img_u8.shape[:2]
+        img_u8 = resize_lanczos(img_u8, (w * up, h * up))
+        padded, w0, h0, _, _ = check_image_size(img_u8)
+        lr = padded.astype(np.float32) / 255.0
+        if caption and encode is not None:
+            pe, pooled = encode(caption)
+        else:
+            pe, pooled = _zero_embeds(cross_dim, pooled_dim)
+        out = pipe(lr, pe, pooled, output_type="uint8",
+                   num_inference_steps=int(opts.get("steps", 20)),
+                   guidance_scale=float(opts.get("cfg", 5.0)),
+                   seed=int(opts.get("seed", 42)),
+                   overlap=float(opts.get("overlap", 0.5)),
+                   color_fix=opts.get("color_fix", "wavelet"),
+                   start_point=opts.get("start_point", "lr"))
+        return out[:h0, :w0]
+
+    serve(DemoApp(restore_fn), a.host, a.port)
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

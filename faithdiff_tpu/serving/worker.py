@@ -140,3 +140,59 @@ def serve(worker: ModelWorker, host: str = "127.0.0.1",
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
+
+
+def main(argv=None):
+    """Serve a captioner checkpoint behind the controller
+    (`/root/reference/llava/serve/model_worker.py` role)."""
+    import argparse
+    import time as _time
+
+    p = argparse.ArgumentParser("faithdiff-worker")
+    p.add_argument("--controller", required=True,
+                   help="controller URL, e.g. http://127.0.0.1:10000")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=40000)
+    p.add_argument("--captioner_dir", required=True)
+    p.add_argument("--model_name", default="llava")
+    p.add_argument("--load_8bit", action="store_true", default=True)
+    p.add_argument("--load_4bit", action="store_true")
+    p.add_argument("--limit_concurrency", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from ..captioner.agent import CaptionAgent
+
+    agent = CaptionAgent.from_checkpoint(
+        args.captioner_dir, load_8bit=args.load_8bit and not args.load_4bit,
+        load_4bit=args.load_4bit)
+
+    def generate_fn(body: dict):
+        import base64
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(body["image"]))).convert("RGB"))
+        kw = {}
+        if body.get("prompt"):
+            kw["question"] = body["prompt"]
+        yield agent.caption(img, **kw)
+
+    worker = ModelWorker(
+        args.controller, f"http://{args.host}:{args.port}",
+        [args.model_name], generate_fn,
+        limit_concurrency=args.limit_concurrency)
+    serve(worker, args.host, args.port)
+    print(f"worker at http://{args.host}:{args.port} -> {args.controller}",
+          flush=True)
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        worker.stop()
+
+
+if __name__ == "__main__":
+    main()

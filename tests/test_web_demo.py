@@ -58,3 +58,42 @@ def test_web_demo_restore_roundtrip():
         assert "Restoration Run" in page
     finally:
         server.shutdown()
+
+
+def test_web_demo_main_tiny_pipeline_http():
+    """`python -m faithdiff_tpu.serving.web_demo --tiny`: real tiny
+    pipeline behind the HTTP API, restored image comes back upscaled."""
+    import threading
+    import time
+
+    from faithdiff_tpu.serving import web_demo
+
+    port = _free_port()
+    t = threading.Thread(
+        target=web_demo.main,
+        args=(["--tiny", "--host", "127.0.0.1", "--port", str(port)],),
+        daemon=True)
+    t.start()
+
+    img = np.random.default_rng(1).integers(0, 255, (24, 20, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    body = json.dumps({
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "upscale": 2, "steps": 2, "seed": 1,
+    }).encode()
+
+    out = None
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/restore", data=body)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.loads(r.read())
+            break
+        except (ConnectionError, urllib.error.URLError, OSError):
+            time.sleep(2)
+    assert out is not None and "image" in out, out
+    rec = np.asarray(Image.open(io.BytesIO(base64.b64decode(out["image"]))))
+    assert rec.shape == (48, 40, 3)        # 2x upscale, padding cropped
