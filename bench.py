@@ -88,6 +88,11 @@ def main():
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(REFERENCE_MS / ms, 3) if on_tpu else 0.0,
+        # the reference repo publishes NO numbers (BASELINE.md); this ratio
+        # divides by an ASSUMED reference-class constant, not a measurement
+        "baseline_source": (
+            "assumed 200 ms reference-class constant for an SDXL CFG-pair "
+            "step at 1024^2 on a 24GB consumer GPU; not a measured baseline"),
     }))
 
 

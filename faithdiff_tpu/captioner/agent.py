@@ -142,7 +142,14 @@ class CaptionAgent:
         "square" (plain resize), or "anyres" with `anyres_grid_pinpoints` —
         base image + grid patches encoded separately and their features
         concatenated (the reference's `mm_patch_merge_type == "flat"` path,
-        `llava_arch.py:160-166`; batch size 1 only)."""
+        `llava_arch.py:160-166`). Batched anyres splices per-sample patch
+        counts and LEFT-pads to the batch max (the reference right-pads
+        with an attention mask, `llava_arch.py:289-310`; left-padding keeps
+        every sample's last token at a static index for decode).
+
+        Returns `(embeds [B, L, D], pad_len)` where `pad_len` is a [B]
+        int32 array of left-pad counts, or None when all samples share one
+        length (the fast fully-dense path)."""
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
         pre, post = build_vicuna_prompt(question)
@@ -153,17 +160,24 @@ class CaptionAgent:
                            return_tensors="np").input_ids, np.int32)
 
         size = self.vision.config.image_size
+        n = len(images)
         if image_aspect_ratio == "anyres":
             from .clip_vision import process_anyres_image
 
-            assert len(images) == 1, "anyres splice supports batch 1"
             assert anyres_grid_pinpoints is not None
-            pixel = process_anyres_image(images[0], size,
-                                         anyres_grid_pinpoints)
-            feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
-            img_embeds = self.projector.apply(self.projector_params, feats)
-            # flat merge: [k, P, D] -> [1, k*P, D]
-            img_embeds = img_embeds.reshape(1, -1, img_embeds.shape[-1])
+            stacks = [process_anyres_image(im, size, anyres_grid_pinpoints)
+                      for im in images]
+            counts = [st.shape[0] for st in stacks]
+            # one vision/projector batch over every sample's patches
+            feats = self.vision.apply(self.vision_params,
+                                      jnp.asarray(np.concatenate(stacks)))
+            emb = self.projector.apply(self.projector_params, feats)
+            # per-sample flat merge: [k_i, P, D] -> [1, k_i*P, D]
+            per_sample, off = [], 0
+            for c in counts:
+                per_sample.append(
+                    emb[off:off + c].reshape(1, -1, emb.shape[-1]))
+                off += c
         else:
             pixel = np.concatenate([
                 preprocess_clip_image(im, size,
@@ -171,12 +185,21 @@ class CaptionAgent:
                 for im in images])
             feats = self.vision.apply(self.vision_params, jnp.asarray(pixel))
             img_embeds = self.projector.apply(self.projector_params, feats)
+            per_sample = [img_embeds[i:i + 1] for i in range(n)]
 
-        n = len(images)
-        pre_e = jnp.tile(self._embed_ids(pre_ids), (n, 1, 1))
-        post_e = jnp.tile(self._embed_ids(post_ids), (n, 1, 1))
-        return jnp.concatenate(
-            [pre_e, img_embeds.astype(pre_e.dtype), post_e], axis=1)
+        pre_e = self._embed_ids(pre_ids)
+        post_e = self._embed_ids(post_ids)
+        seqs = [jnp.concatenate(
+            [pre_e, e.astype(pre_e.dtype), post_e], axis=1)
+            for e in per_sample]
+        lens = [int(sq.shape[1]) for sq in seqs]
+        max_len = max(lens)
+        if all(ln == max_len for ln in lens):
+            return jnp.concatenate(seqs, axis=0), None
+        padded = [jnp.pad(sq, ((0, 0), (max_len - ln, 0), (0, 0)))
+                  for sq, ln in zip(seqs, lens)]
+        pad_len = jnp.asarray([max_len - ln for ln in lens], jnp.int32)
+        return jnp.concatenate(padded, axis=0), pad_len
 
     def _stop_sequences(self):
         """Keyword stopping on the conversation separator (the reference's
@@ -192,10 +215,14 @@ class CaptionAgent:
         return tuple(seqs)
 
     def caption_batch(self, images, question: str = DEFAULT_QUESTION,
-                      seed: int = 0) -> List[str]:
+                      seed: int = 0, image_aspect_ratio: str = "pad",
+                      anyres_grid_pinpoints=None) -> List[str]:
         """Caption several images in one batched generate (per-sample
-        lengths; finished samples pad with eos)."""
-        embeds = self.build_multimodal_embeds(images, question)
+        lengths; finished samples pad with eos). Batched anyres runs as one
+        left-padded static batch (see `build_multimodal_embeds`)."""
+        embeds, pad_len = self.build_multimodal_embeds(
+            images, question, image_aspect_ratio=image_aspect_ratio,
+            anyres_grid_pinpoints=anyres_grid_pinpoints)
         result = greedy_generate(
             self.llama, self.llama_params, embeds,
             max_new_tokens=self.max_new_tokens,
@@ -203,6 +230,7 @@ class CaptionAgent:
             temperature=self.temperature, top_p=self.top_p,
             key=jax.random.PRNGKey(seed),
             stop_sequences=self._stop_sequences(),
+            pad_len=pad_len,
         )
         out = []
         for bi in range(result.tokens.shape[0]):

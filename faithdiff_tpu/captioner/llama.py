@@ -162,7 +162,12 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_len=None):
+                 attn_len=None, pad_len=None):
+        """`pad_len`: optional [B] per-sample LEFT-pad counts — keys at
+        cache positions < pad_len[b] are masked out. This is how batched
+        variable-length multimodal prompts (e.g. anyres splices with
+        differing patch counts, `llava_arch.py:145-324`) run as one static
+        batch."""
         cfg = self.config
         d = cfg.hidden_size
         heads = cfg.num_attention_heads
@@ -192,16 +197,24 @@ class LlamaAttention(nn.Module):
                 rep = heads // kv_heads
                 k = jnp.repeat(k, rep, axis=1)
                 v = jnp.repeat(v, rep, axis=1)
-            if cfg.sliding_window is not None:
-                # causal + sliding-window mask (Mistral): XLA attention —
-                # prompts are short relative to the window in practice
+            if cfg.sliding_window is not None or pad_len is not None:
+                # masked XLA attention: causal + sliding-window (Mistral)
+                # and/or left-pad masking (batched variable-length prompts).
+                # Prompts are short relative to the window in practice.
                 scale = 1.0 / np.sqrt(hd)
                 logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                     preferred_element_type=jnp.float32) * scale
                 qi = jnp.arange(s)[:, None]
                 ki = jnp.arange(s)[None, :]
-                mask = (ki <= qi) & (ki > qi - cfg.sliding_window)
-                logits = jnp.where(mask[None, None], logits, -1e30)
+                mask = (ki <= qi)
+                if cfg.sliding_window is not None:
+                    mask = mask & (ki > qi - cfg.sliding_window)
+                mask = mask[None, None]                      # [1,1,Q,K]
+                if pad_len is not None:
+                    pad_ok = (jnp.arange(s)[None, None, None, :]
+                              >= pad_len[:, None, None, None])  # [B,1,1,K]
+                    mask = mask & pad_ok
+                logits = jnp.where(mask, logits, -1e30)
                 probs = jax.nn.softmax(logits, axis=-1)
                 out = jnp.einsum(
                     "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
@@ -225,6 +238,8 @@ class LlamaAttention(nn.Module):
             mask = ki <= attn_len
             if cfg.sliding_window is not None:
                 mask = mask & (ki > attn_len - cfg.sliding_window)
+            if pad_len is not None:
+                mask = mask & (ki >= pad_len[:, None, None, None])
             logits = jnp.where(mask, logits, -1e30)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cv.dtype), cv,
@@ -240,12 +255,12 @@ class LlamaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, kv_cache=None, cache_index=None,
-                 attn_len=None):
+                 attn_len=None, pad_len=None):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(
             cfg, dtype=self.dtype, name="self_attn")(
-                h, positions, kv_cache, cache_index, attn_len)
+                h, positions, kv_cache, cache_index, attn_len, pad_len)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
         gate = _proj(cfg.quant, cfg.intermediate_size, self.dtype,
@@ -266,14 +281,14 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_caches=None,
-                 cache_index=None, attn_len=None):
+                 cache_index=None, attn_len=None, pad_len=None):
         cfg = self.config
         x = inputs_embeds
         new_caches = []
         for i in range(cfg.num_hidden_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, nc = LlamaLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(
-                x, positions, cache_i, cache_index, attn_len)
+                x, positions, cache_i, cache_index, attn_len, pad_len)
             new_caches.append(nc)
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
         return x, (new_caches if kv_caches is not None else None)
@@ -304,9 +319,9 @@ class LlamaForCausalLM(nn.Module):
         return logits
 
     def __call__(self, inputs_embeds, positions, kv_caches=None,
-                 cache_index=None, attn_len=None):
+                 cache_index=None, attn_len=None, pad_len=None):
         x, caches = self.model(inputs_embeds, positions, kv_caches,
-                               cache_index, attn_len)
+                               cache_index, attn_len, pad_len)
         return self.lm_head(x), caches
 
 
@@ -335,6 +350,7 @@ def greedy_generate(
     top_p: float = 1.0,
     key: Optional[jax.Array] = None,
     stop_sequences: Optional[Tuple[Tuple[int, ...], ...]] = None,
+    pad_len: Optional[jax.Array] = None,
 ) -> GenerateResult:
     """Prefill + autoregressive decode with a static-shape KV cache.
 
@@ -345,7 +361,12 @@ def greedy_generate(
     `stop_sequences`: per-sample generation stops when its newest tokens
     match any sequence (the reference's `KeywordsStoppingCriteria`,
     `llava/mm_utils.py:216-247`; the keyword tokens are excluded from
-    `lengths` like the reference strips the separator)."""
+    `lengths` like the reference strips the separator).
+
+    `pad_len`: optional [B] LEFT-pad counts for variable-length prompts
+    (batched anyres splices, `llava_arch.py:145-324`): padded positions
+    are masked out of attention and excluded from rotary positions.
+    LLaMA/Mistral family only."""
     cfg = model.config
     b, s, _ = prompt_embeds.shape
     max_len = s + max_new_tokens
@@ -360,9 +381,18 @@ def greedy_generate(
                                     dtype=prompt_embeds.dtype)
     else:
         caches = init_kv_caches(cfg, b, max_len, dtype=prompt_embeds.dtype)
-    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    if pad_len is not None:
+        assert not hasattr(cfg, "d_model"), \
+            "pad_len (batched anyres) is a LLaMA/Mistral-family feature"
+        pad_len = jnp.asarray(pad_len, jnp.int32)
+        positions = jnp.maximum(
+            jnp.arange(s)[None] - pad_len[:, None], 0)
+        extra = {"pad_len": pad_len}
+    else:
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        extra = {}
     logits, caches = model.apply(params, prompt_embeds, positions, caches, 0,
-                                 jnp.asarray(s - 1))
+                                 jnp.asarray(s - 1), **extra)
     next_logits = logits[:, -1, :]
 
     def sample(logits, key):
@@ -391,8 +421,10 @@ def greedy_generate(
         emb = model.apply(params, tok[:, None],
                           method="embed")
         pos = jnp.broadcast_to(jnp.asarray(s)[None, None] + i, (b, 1))
+        if pad_len is not None:
+            pos = pos - pad_len[:, None]
         logits, caches = model.apply(params, emb, pos, caches, s + i,
-                                     jnp.asarray(s) + i)
+                                     jnp.asarray(s) + i, **extra)
         nxt = sample(logits[:, -1, :], sub)
         nxt = jnp.where(done, eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == eos_token_id)

@@ -88,14 +88,19 @@ def build_pipeline(
     scaling = vae_config.scaling_factor
 
     def unet_apply(params, sample, t, ctx, pooled, time_ids, cond,
-                   add_sample, fusion_group_size):
-        if use_fp8:
+                   add_sample, fusion_group_size, skip_dequant=False):
+        if use_fp8 and not skip_dequant:
             # upcast inside the jit: float8 has no implicit promotion, and
             # per-consumer convert fusion keeps bf16 copies transient
             params = dequantize_params(params, dtype)
         return unet.apply(params, sample, t, ctx, pooled, time_ids, cond,
                           add_sample=add_sample,
                           fusion_group_size=fusion_group_size)
+
+    # chunked-path fp8 hoist: upcast once per jitted denoise call instead of
+    # once per lax.map chunk (round-2 weak #4: fp8 was 30% slower at 8K)
+    params_prepare = (
+        (lambda p: dequantize_params(p, dtype)) if use_fp8 else None)
 
     # jit the host-called stages: eager op-by-op dispatch is pathological
     # through the device tunnel (0.4 s/dispatch latency)
@@ -161,6 +166,7 @@ def build_pipeline(
         tile_sharding=tile_sharding,
         tile_devices=tile_devices,
         tile_chunk=tile_chunk,
+        unet_params_prepare=params_prepare,
     )
 
 

@@ -40,6 +40,19 @@ from .tiling import (TileLayout, compute_tile_layout, gaussian_tile_weights,
                      merge_tiles, split_tiles, tile_position_ids)
 
 
+def torch_randn_latents_nhwc(seed: int, lh: int, lw: int,
+                             channels: int = 4) -> jax.Array:
+    """Initial latents with bit-parity to the reference/diffusers
+    `randn_tensor` (`pipeline_FaithDiff_tlc.py:819-835`): torch.Generator
+    CPU noise drawn in NCHW order, rearranged to NHWC — identical values at
+    every (c, y, x) position."""
+    import torch
+
+    gen = torch.Generator().manual_seed(seed)
+    t_noise = torch.randn((1, channels, lh, lw), generator=gen)
+    return jnp.asarray(t_noise.permute(0, 2, 3, 1).numpy(), jnp.float32)
+
+
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
     """CFG rescale (`pipeline_FaithDiff_tlc.py:286-305`)."""
     axes = tuple(range(1, noise_pred_text.ndim))
@@ -86,6 +99,13 @@ class FaithDiffPipeline:
     # above this tile count, drive the denoise loop one step per device
     # dispatch (long single dispatches get killed by the device tunnel)
     host_loop_tile_threshold: int = 16
+    # fp8 mode: dequantize-to-compute-dtype hook. In the CHUNKED path the
+    # per-chunk whole-tree upcast inside `lax.map` re-executed every chunk
+    # (round-2: fp8 8K was 30% SLOWER than bf16); this hook hoists the
+    # upcast to once per jitted call, outside the chunk loop. The
+    # non-chunked path keeps the per-consumer convert fusion (12% faster
+    # at 1024^2) by NOT hoisting.
+    unet_params_prepare: Optional[Callable] = None
 
     # ------------------------------------------------------------------
     # jitted core
@@ -166,8 +186,22 @@ class FaithDiffPipeline:
         `lazy_tiles`: `image_latent_tiles` is the UNSPLIT [1, H, W, C]
         feature map; each chunk's LQ tiles are dynamic-sliced on the fly
         using `tile_offsets`. Materialising all T tiles up front is ~4x
-        the feature map (overlap 0.5) — several GB at 8K-class inputs."""
+        the feature map (overlap 0.5) — several GB at 8K-class inputs.
+
+        Under tile sharding the feature map stays REPLICATED across the mesh
+        and the per-chunk slices are sharding-constrained onto the tile axis:
+        each device gathers its own tiles from its local copy, so the lazy
+        path composes with tile parallelism with no extra collectives (the
+        round-2 mutual exclusion was the 8K multi-chip blocker)."""
         sched = self.scheduler
+
+        def shard_tiles(x):
+            # GSPMD hint: batch/tile axis over the mesh. In lazy mode there
+            # is no sharded big input to propagate from, so the constraint
+            # is what makes the UNet run tile-parallel.
+            if self.tile_sharding is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, self.tile_sharding)
         state = sched.set_timesteps(num_steps)
         t_count = layout.num_tiles
         t_pad = t_count + pad_tiles
@@ -181,6 +215,13 @@ class FaithDiffPipeline:
             return jnp.concatenate([tiles, tiles[pad_idx]], axis=0)
 
         chunk = t_pad if tile_chunk is None else min(tile_chunk, t_pad)
+
+        # fp8 hoist (chunked path only): one whole-tree upcast per jitted
+        # call instead of one per lax.map iteration
+        hoist_dequant = self.unet_params_prepare is not None and chunk < t_pad
+        if hoist_dequant:
+            unet_params = self.unet_params_prepare(unet_params)
+        unet_kw = {"skip_dequant": True} if hoist_dequant else {}
 
         # per-UNet-call constants (CFG pair per tile, built at chunk size so
         # the duplicated image-latent tiles never materialise for ALL tiles
@@ -210,7 +251,7 @@ class FaithDiffPipeline:
                 unet_params, model_in, t, ctx_c, pooled_c,
                 jnp.repeat(time_ids_c, 2, axis=0),
                 jnp.repeat(img_c, 2, axis=0),
-                add_sample, 2)
+                add_sample, 2, **unet_kw)
             return eps
 
         def step_fn(latents, i):
@@ -225,8 +266,8 @@ class FaithDiffPipeline:
                 def per_chunk(args):
                     tl, ti, im = args
                     if lazy_tiles:
-                        im = slice_lq(im)
-                    return run_unet(tl, i, t, ti, im)
+                        im = shard_tiles(slice_lq(im))
+                    return run_unet(shard_tiles(tl), i, t, ti, im)
 
                 def r(x):
                     return x.reshape(n_chunks, chunk, *x.shape[1:])
@@ -236,9 +277,10 @@ class FaithDiffPipeline:
                     per_chunk, (r(tiles), r(base_time_ids), r(lq)))
                 eps = eps.reshape(2 * t_pad, *eps.shape[2:])
             else:
-                img_all = (slice_lq(tile_offsets) if lazy_tiles
+                img_all = (shard_tiles(slice_lq(tile_offsets)) if lazy_tiles
                            else image_latent_tiles)
-                eps = run_unet(tiles, i, t, base_time_ids, img_all)
+                eps = run_unet(shard_tiles(tiles), i, t, base_time_ids,
+                               img_all)
             eps = eps.reshape(t_pad, 2, *eps.shape[1:])
             eps_uncond, eps_text = eps[:, 0], eps[:, 1]
             eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -311,10 +353,11 @@ class FaithDiffPipeline:
             self.denoise_encoder_params, image)
         # lazy mode: above the chunk threshold keep the feature map unsplit
         # and slice per-chunk inside the loop — materialising every tile is
-        # ~4x the map (overlap 0.5), an OOM at 8K-class tile counts
+        # ~4x the map (overlap 0.5), an OOM at 8K-class tile counts. Works
+        # with tile sharding too: the map is replicated and each device
+        # slices its own chunk (see `_denoise_loop`).
         lazy_tiles = (self.tile_chunk is not None
-                      and layout.num_tiles > self.tile_chunk
-                      and self.tile_sharding is None)
+                      and layout.num_tiles > self.tile_chunk)
         image_latent_tiles = (image_latents if lazy_tiles
                               else split_tiles(image_latents, layout))
 
@@ -322,15 +365,7 @@ class FaithDiffPipeline:
         state = self.scheduler.set_timesteps(num_inference_steps)
         if latents is None:
             if noise_source == "torch":
-                # bit-parity with the reference/diffusers `randn_tensor`:
-                # torch.Generator CPU noise in NCHW, rearranged to NHWC
-                # (identical values per (c, y, x) position)
-                import torch
-
-                gen = torch.Generator().manual_seed(seed)
-                t_noise = torch.randn((1, 4, lh, lw), generator=gen)
-                latents = jnp.asarray(
-                    t_noise.permute(0, 2, 3, 1).numpy(), jnp.float32)
+                latents = torch_randn_latents_nhwc(seed, lh, lw)
             else:
                 latents = jax.random.normal(k_lat, (1, lh, lw, 4), jnp.float32)
         latents = latents * state.init_noise_sigma
@@ -385,8 +420,15 @@ class FaithDiffPipeline:
             tile_offsets = np.concatenate(
                 [tile_offsets, tile_offsets[idx]], axis=0)
         if self.tile_sharding is not None:
-            image_latent_tiles = jax.device_put(
-                image_latent_tiles, self.tile_sharding)
+            if lazy_tiles:
+                # unsplit feature map: replicate across the mesh so every
+                # device can slice any of its tiles locally
+                rep = jax.sharding.NamedSharding(
+                    self.tile_sharding.mesh, jax.sharding.PartitionSpec())
+                image_latent_tiles = jax.device_put(image_latent_tiles, rep)
+            else:
+                image_latent_tiles = jax.device_put(
+                    image_latent_tiles, self.tile_sharding)
 
         common_args = (
             self.unet_params, latents, image_latent_tiles, embeds, pooled,

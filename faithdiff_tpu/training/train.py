@@ -155,19 +155,23 @@ def make_train_step(
     cfg: TrainConfig,
     scheduler_config: SchedulerConfig = SchedulerConfig(),
 ) -> Callable:
-    """Returns step(state, batch, key) -> (state, metrics).
+    """Returns step(state, batch, key, vae_params=...) -> (state, metrics).
 
     batch: dict with
       hr [B, H, W, 3] in [-1, 1], lq [B, H, W, 3] in [-1, 1],
       prompt_embeds [B, 77, 2048], pooled_embeds [B, 1280],
       add_time_ids [B, 6]
+
+    `vae_params` is exposed as an (defaulted) argument so AOT analysis can
+    lower the step with fully-abstract inputs (no multi-GB closure
+    constants); normal callers never pass it.
     """
     ddpm = DDPMScheduler(scheduler_config)
     n_train_t = scheduler_config.num_train_timesteps
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, vp):
         k_vae, k_noise, k_off, k_t = jax.random.split(key, 4)
-        latents = vae_encode(vae_params, batch["hr"], k_vae)
+        latents = vae_encode(vp, batch["hr"], k_vae)
         latents = jax.lax.stop_gradient(latents)
         b = latents.shape[0]
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
@@ -189,12 +193,14 @@ def make_train_step(
             eps_pred.astype(jnp.float32) - noise.astype(jnp.float32)))
         return loss
 
-    def step(state: TrainState, batch, key) -> Tuple[TrainState, dict]:
+    def step(state: TrainState, batch, key,
+             vae_params=vae_params) -> Tuple[TrainState, dict]:
         labels = param_labels(state.params, cfg.stage)
         train, frozen = partition_params(state.params, labels)
 
         def loss_from_train(train_part):
-            return loss_fn(combine_params(train_part, frozen), batch, key)
+            return loss_fn(combine_params(train_part, frozen), batch, key,
+                           vae_params)
 
         # gradients exist ONLY for the trainable partition — no frozen-leaf
         # gradient buffers ever materialise

@@ -119,10 +119,59 @@ def test_anyres_multimodal_embeds():
         0, 255, (40, 80, 3)).astype(np.uint8)
     s = vcfg.image_size
     grids = [(s, 2 * s), (2 * s, s)]
-    base = agent.build_multimodal_embeds([img], "q?")
-    any_e = agent.build_multimodal_embeds(
+    base, pl0 = agent.build_multimodal_embeds([img], "q?")
+    any_e, pl1 = agent.build_multimodal_embeds(
         [img], "q?", image_aspect_ratio="anyres",
         anyres_grid_pinpoints=grids)
+    assert pl0 is None and pl1 is None      # uniform lengths -> dense
     n_img = feats.shape[1]
     # 3 stacks (base + 2 patches) -> 2 extra image-token groups
     assert any_e.shape[1] - base.shape[1] == 2 * n_img
+
+
+def test_anyres_batched_mixed_patch_counts():
+    """Batched anyres with DIFFERENT per-sample patch counts (round-2
+    missing #5: the old splice asserted batch 1; the reference splices
+    per-sample inside a batch, `llava_arch.py:145-324`). Left-padded batch
+    + pad_len masking must reproduce each sample's solo greedy caption."""
+    vcfg = tiny_vision_config()
+    lcfg = LlamaConfig.tiny()
+    vision = CLIPVisionTower(vcfg)
+    projector = VisionProjector(lcfg.hidden_size)
+    llama = LlamaForCausalLM(lcfg)
+    pix = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    vp = vision.init(jax.random.PRNGKey(0), pix)
+    feats = vision.apply(vp, pix)
+    pp = projector.init(jax.random.PRNGKey(1), feats)
+    lp = llama.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
+                    jnp.zeros((1, 4), jnp.int32),
+                    method=LlamaForCausalLM.init_forward)
+    agent = CaptionAgent(llama=llama, llama_params=lp, vision=vision,
+                         vision_params=vp, projector=projector,
+                         projector_params=pp, tokenizer=StubTokenizer(),
+                         max_new_tokens=5, temperature=0.0)
+    s = vcfg.image_size
+    # pinpoints are (width, height): square grid (1 patch) vs wide grid
+    # (2 patches side by side)
+    grids = [(s, s), (2 * s, s)]
+    rng = np.random.default_rng(3)
+    img_sq = rng.integers(0, 255, (50, 50, 3)).astype(np.uint8)
+    img_wide = rng.integers(0, 255, (40, 90, 3)).astype(np.uint8)
+
+    emb, pad_len = agent.build_multimodal_embeds(
+        [img_sq, img_wide], "q?", image_aspect_ratio="anyres",
+        anyres_grid_pinpoints=grids)
+    assert pad_len is not None
+    n_img = feats.shape[1]
+    # wide image gets one extra patch group; square sample left-pads by it
+    assert int(pad_len[0]) == n_img and int(pad_len[1]) == 0
+
+    caps = agent.caption_batch(
+        [img_sq, img_wide], "q?", image_aspect_ratio="anyres",
+        anyres_grid_pinpoints=grids)
+    solo0 = agent.caption_batch([img_sq], "q?", image_aspect_ratio="anyres",
+                                anyres_grid_pinpoints=grids)[0]
+    solo1 = agent.caption_batch([img_wide], "q?",
+                                image_aspect_ratio="anyres",
+                                anyres_grid_pinpoints=grids)[0]
+    assert caps == [solo0, solo1]

@@ -110,6 +110,33 @@ def test_pipeline_fp8_weight_storage():
     assert float(np.abs(out8 - outf).mean()) < 0.15
 
 
+def test_pipeline_fp8_chunked_hoist_matches_unchunked():
+    """The chunked fp8 path hoists the weight upcast out of the lax.map
+    body (`unet_params_prepare` + skip_dequant — round-2 weak #4: per-chunk
+    re-upcast made fp8 30% slower than bf16 at 8K). Hoisted-chunked and
+    per-call-dequant unchunked must agree exactly on the same weights."""
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    # 256px tiny tile -> 32px latent kernel; 96px image -> 12x12 latent,
+    # single tile... use 384px -> 48x48 latent -> 4 tiles, chunk 2
+    img = np.random.default_rng(4).random((384, 384, 3)).astype(np.float32)
+
+    p_chunk = build_tiny_pipeline(use_fp8=True, tile_chunk=2)
+    assert p_chunk.unet_params_prepare is not None
+    p_flat = build_tiny_pipeline(use_fp8=True)
+    p_flat.unet_params = p_chunk.unet_params
+    p_flat.vae_params = p_chunk.vae_params
+    p_flat.denoise_encoder_params = p_chunk.denoise_encoder_params
+
+    a = p_chunk(img, pe, pooled, num_inference_steps=2, seed=5,
+                output_type="latent")
+    b = p_flat(img, pe, pooled, num_inference_steps=2, seed=5,
+               output_type="latent")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_pipeline_rejects_unpadded_input(pipe):
     cfg = tiny_unet_config()
     pe, pooled = _embeds(cfg)
@@ -168,8 +195,19 @@ def test_pipeline_tiled_vae_path():
 
 def test_pipeline_torch_noise_parity(pipe):
     """noise_source='torch' reproduces diffusers randn_tensor semantics:
-    the initial latents equal torch.Generator(seed) noise rearranged NHWC."""
+    the initial latents equal torch.Generator(seed) noise rearranged NHWC —
+    asserted against independently generated torch values (round-2 weak #6:
+    the old test only checked determinism and seed-sensitivity)."""
     import torch
+
+    from faithdiff_tpu.pipelines.faithdiff import torch_randn_latents_nhwc
+
+    # the pipeline's noise helper vs an independent torch draw, bit-exact
+    gen = torch.Generator().manual_seed(99)
+    expect = torch.randn((1, 4, 8, 16), generator=gen) \
+        .permute(0, 2, 3, 1).numpy()
+    got = np.asarray(torch_randn_latents_nhwc(99, 8, 16))
+    np.testing.assert_array_equal(got, expect)
 
     cfg = tiny_unet_config()
     pe, pooled = _embeds(cfg)

@@ -54,3 +54,51 @@ def test_tile_sharded_denoise_collectives_bounded():
     assert counts.get("all-reduce", 0) <= 4, counts
     assert counts.get("collective-permute", 0) <= 4, counts
     assert sum(counts.values()) <= 8, counts
+
+
+def test_chunked_lazy_tile_sharded_denoise_collectives_bounded():
+    """The 8K-class configuration: tile_chunk set, lazy tiles (unsplit LQ
+    feature map, replicated), tile axis sharded. Round-2 weak #7: this path
+    — the one every large-image run uses — had no communication-shape
+    regression. Collectives must not scale with the tile count: the lazy
+    per-chunk gather reads a replicated operand (no communication) and the
+    merge stays bounded.
+
+    One all-gather IS expected here and is the intended lowering: the
+    stacked per-chunk eps [n_chunks, 2*chunk, k, k, 4] cannot keep its
+    grouped sharding through the flatten-reshape before the merge, so GSPMD
+    gathers the eps stack (latent channels, C=4 — tiny next to the C=512
+    feature map) and each device merges redundantly. What this test forbids
+    is any gather of the LQ FEATURE map/tiles (C=64 here, C=512 at full
+    scale) — that is the multi-GB buffer lazy mode exists to avoid."""
+    mesh = make_mesh(8)
+    bsh = batch_sharding(mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    pipe = build_tiny_pipeline(tile_sharding=bsh, tile_devices=8,
+                               tile_chunk=8)
+
+    layout = compute_tile_layout(24, 24, (8, 8), 0.5)   # 25 tiles
+    t = layout.num_tiles
+    pad = (-t) % 8                                      # chunk = 8
+    feat = jax.device_put(jnp.zeros((1, 24, 24, 64)), rep)
+    offsets = jnp.zeros((t + pad, 2), jnp.int32)
+    lowered = pipe._jit_denoise.lower(
+        pipe.unet_params, jnp.zeros((1, 24, 24, 4)), feat,
+        jnp.zeros((2, 77, 64)), jnp.zeros((2, 64)),
+        jnp.zeros((t + pad, 6)),
+        layout=layout, num_steps=2, guidance_scale=5.0,
+        guidance_rescale=0.0, add_sample=True, pad_tiles=pad,
+        tile_chunk=8, lazy_tiles=True, tile_offsets=offsets)
+    hlo = lowered.compile().as_text()
+    counts = _collective_counts(hlo)
+
+    # every all-gather must be of latent-channel (=4) tensors: the eps-stack
+    # merge gather. A feature-map gather would show a trailing dim of 64.
+    gathered = re.findall(r"= \S+\[([\d,]+)\]\S* all-gather\(", hlo)
+    for dims in gathered:
+        assert dims.endswith(",4"), f"all-gather of non-latent tensor: {dims}"
+    assert counts.get("all-gather", 0) <= 1, counts
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("all-reduce", 0) <= 4, counts
+    assert counts.get("collective-permute", 0) <= 4, counts
+    assert sum(counts.values()) <= 8, counts

@@ -619,3 +619,228 @@ class FaithDiffUNet(nn.Module):
                 sample = blk(sample, list(res), emb, upsample_size)
 
         return self.conv_out(F.silu(self.conv_norm_out(sample)))
+
+
+# ---------------------------------------------------------------------------
+# Composed-pipeline transcription (reference `__call__` denoise loop,
+# `pipeline_FaithDiff_tlc.py:1008-1459`): LocalAttention tiling, per-tile
+# deep-copied scheduler state, CFG duplicate/combine, per-tile add_time_ids,
+# Gaussian blend-merge. Used by tests/test_pipeline_composition_parity.py to
+# check the JAX pipeline's composed latents, not just its modules.
+# ---------------------------------------------------------------------------
+
+import copy
+
+import numpy as np
+
+
+class TorchLocalAttention:
+    """CPU transcription of `LocalAttention` (`pipeline_FaithDiff_tlc.py:
+    101-283`): grids / _gaussian_weights (asymmetric midpoints) /
+    grids_inverse."""
+
+    def __init__(self, kernel_size, overlap=0.5):
+        self.kernel_size = kernel_size
+        self.overlap = overlap
+
+    def grids(self, x):
+        b, c, h, w = x.shape
+        self.original_size = (b, c, h, w)
+        assert b == 1
+        k1, k2 = self.kernel_size
+        k1, k2 = min(k1, h), min(k2, w)
+        self.k1k2 = (k1, k2)
+        self.tile_weights = self._gaussian_weights(k2, k1, c)
+        num_row = (h - 1) // k1 + 1
+        num_col = (w - 1) // k2 + 1
+        step_j = k2 if num_col == 1 else math.ceil(k2 * self.overlap)
+        step_i = k1 if num_row == 1 else math.ceil(k1 * self.overlap)
+        parts, idxes = [], []
+        i = 0
+        last_i = False
+        while i < h and not last_i:
+            j = 0
+            if i + k1 >= h:
+                i = h - k1
+                last_i = True
+            last_j = False
+            while j < w and not last_j:
+                if j + k2 >= w:
+                    j = w - k2
+                    last_j = True
+                parts.append(x[:, :, i:i + k1, j:j + k2])
+                idxes.append({"i": i, "j": j})
+                j = j + step_j
+            i = i + step_i
+        self.idxes = idxes
+        return torch.cat(parts, dim=0)
+
+    def _gaussian_weights(self, tile_width, tile_height, channels):
+        var = 0.01
+        midpoint = (tile_width - 1) / 2
+        x_probs = [
+            math.exp(-(x - midpoint) * (x - midpoint)
+                     / (tile_width * tile_width) / (2 * var))
+            / math.sqrt(2 * math.pi * var) for x in range(tile_width)]
+        midpoint = tile_height / 2
+        y_probs = [
+            math.exp(-(y - midpoint) * (y - midpoint)
+                     / (tile_height * tile_height) / (2 * var))
+            / math.sqrt(2 * math.pi * var) for y in range(tile_height)]
+        weights = np.outer(y_probs, x_probs)
+        return torch.tile(torch.tensor(weights), (channels, 1, 1))
+
+    def grids_inverse(self, outs):
+        preds = torch.zeros(self.original_size, dtype=torch.float64)
+        b, c, h, w = self.original_size
+        count_mt = torch.zeros((b, c, h, w), dtype=torch.float64)
+        k1, k2 = self.k1k2
+        for cnt, each_idx in enumerate(self.idxes):
+            i, j = each_idx["i"], each_idx["j"]
+            preds[0, :, i:i + k1, j:j + k2] += \
+                outs[cnt].double() * self.tile_weights
+            count_mt[0, :, i:i + k1, j:j + k2] += self.tile_weights
+        return (preds / count_mt).float()
+
+
+class TorchEulerScheduler:
+    """Transcription of diffusers `EulerDiscreteScheduler` (the SDXL default
+    the reference loads, `create_FaithDiff_model.py:25-34`): scaled_linear
+    betas, 'leading' spacing with steps_offset, interpolated sigmas, stateful
+    `_step_index` — so the reference's per-tile `__dict__` deep-copy
+    (`pipeline_FaithDiff_tlc.py:1282,1331,1375`) is exercised faithfully."""
+
+    def __init__(self, num_train_timesteps=1000, beta_start=0.00085,
+                 beta_end=0.012, steps_offset=1):
+        betas = torch.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                               num_train_timesteps,
+                               dtype=torch.float64) ** 2
+        alphas_cumprod = torch.cumprod(1.0 - betas, dim=0)
+        self.sigmas_train = ((1 - alphas_cumprod) / alphas_cumprod) ** 0.5
+        self.num_train_timesteps = num_train_timesteps
+        self.steps_offset = steps_offset
+        self._step_index = None
+
+    def set_timesteps(self, num_inference_steps):
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+        ts = (ts + self.steps_offset).astype(np.float64)
+        sigmas = np.interp(ts, np.arange(self.num_train_timesteps),
+                           self.sigmas_train.numpy())
+        sigmas = np.concatenate([sigmas, [0.0]])
+        self.sigmas = torch.tensor(sigmas, dtype=torch.float32)
+        self.timesteps = torch.tensor(ts, dtype=torch.float32)
+        self.init_noise_sigma = float((sigmas.max() ** 2 + 1) ** 0.5)
+        self._step_index = None
+
+    def _init_step_index(self, t):
+        idx = (self.timesteps == t).nonzero()
+        self._step_index = int(idx[0].item())
+
+    def scale_model_input(self, sample, t):
+        if self._step_index is None:
+            self._init_step_index(t)
+        sigma = self.sigmas[self._step_index]
+        return sample / ((sigma ** 2 + 1) ** 0.5)
+
+    def step(self, model_output, t, sample):
+        if self._step_index is None:
+            self._init_step_index(t)
+        sigma = self.sigmas[self._step_index]
+        pred_original = sample - sigma * model_output
+        derivative = (sample - pred_original) / sigma
+        dt = self.sigmas[self._step_index + 1] - sigma
+        prev_sample = sample + derivative * dt
+        self._step_index += 1
+        return prev_sample
+
+
+def rescale_noise_cfg_torch(noise_cfg, noise_pred_text, guidance_rescale):
+    """`pipeline_FaithDiff_tlc.py:286-305`."""
+    std_text = noise_pred_text.std(
+        dim=list(range(1, noise_pred_text.ndim)), keepdim=True)
+    std_cfg = noise_cfg.std(dim=list(range(1, noise_cfg.ndim)), keepdim=True)
+    noise_pred_rescaled = noise_cfg * (std_text / std_cfg)
+    return (guidance_rescale * noise_pred_rescaled
+            + (1 - guidance_rescale) * noise_cfg)
+
+
+@torch.no_grad()
+def torch_faithdiff_denoise(
+    unet, denoise_encoder, lr_img, prompt_embeds, pooled_embeds,
+    num_inference_steps, guidance_scale, kernel_latent, overlap=0.5,
+    guidance_rescale=0.0, add_sample=True, seed=0,
+):
+    """Latent-level transcription of the composed reference `__call__`
+    (`pipeline_FaithDiff_tlc.py:1216-1409`), start_point='noise':
+
+      preprocess -> denoise_encoder -> grids(image feats) -> prepare_latents
+      -> grids(latents) -> per-step { re-split, per-tile [restore scheduler
+      state, CFG duplicate, scale_model_input, per-tile add_time_ids, unet,
+      CFG combine (+rescale), scheduler step, save state], grids_inverse }.
+
+    `lr_img`: [1, 3, H, W] in [0, 1]. Returns final merged latents
+    [1, 4, H/8, W/8].
+    """
+    h, w = lr_img.shape[2], lr_img.shape[3]
+    original_size = (h, w)
+    target_size = (h, w)
+    lh, lw = h // 8, w // 8
+
+    tlc_vae_latents = TorchLocalAttention(kernel_latent, overlap)
+    tlc_vae_img = TorchLocalAttention(kernel_latent, overlap)
+
+    image = lr_img * 2.0 - 1.0                      # preprocess to [-1, 1]
+    image_latents = denoise_encoder(image)          # :1250 (prepare_image_latents)
+    image_latents = tlc_vae_img.grids(image_latents)   # :1257
+
+    sched = TorchEulerScheduler()
+    sched.set_timesteps(num_inference_steps)        # :1249
+    gen = torch.Generator().manual_seed(seed)
+    latents = torch.randn((1, 4, lh, lw), generator=gen)   # :1261 prepare_latents
+    latents = latents * sched.init_noise_sigma
+    latents = tlc_vae_latents.grids(latents)        # :1278
+
+    sub_latents_num = latents.shape[0]
+    views_scheduler_status = [copy.deepcopy(sched.__dict__)] * sub_latents_num
+
+    # CFG embeds: zeroed negatives (force_zeros_for_empty_prompt, :622-625)
+    prompt_embeds_cfg = torch.cat(
+        [torch.zeros_like(prompt_embeds), prompt_embeds], dim=0)   # :1288
+    add_text_embeds = torch.cat(
+        [torch.zeros_like(pooled_embeds), pooled_embeds], dim=0)   # :1289
+
+    for i, t in enumerate(sched.timesteps):         # :1324
+        if i >= 1:
+            latents = tlc_vae_latents.grids(latents)   # :1326
+        concat_grid = []
+        for sub_num in range(sub_latents_num):      # :1330
+            sched.__dict__.update(views_scheduler_status[sub_num])   # :1331
+            sub_latents = latents[sub_num].unsqueeze(0)
+            img_sub_latents = image_latents[sub_num].unsqueeze(0)
+            latent_model_input = torch.cat([sub_latents] * 2)        # :1334
+            img_in = torch.cat([img_sub_latents] * 2)                # :1335
+            scaled = sched.scale_model_input(latent_model_input, t)  # :1336
+            pos_h = tlc_vae_latents.idxes[sub_num]["i"]              # :1337
+            pos_w = tlc_vae_latents.idxes[sub_num]["j"]
+            add_time_ids = torch.cat(
+                [torch.tensor([list(original_size)]),
+                 torch.tensor([[pos_h, pos_w]]),
+                 torch.tensor([list(target_size)])], dim=1).float()
+            add_time_ids = add_time_ids.repeat(2, 1)                 # :1345
+            noise_pred = unet(
+                scaled, torch.full((2,), float(t)), prompt_embeds_cfg,
+                add_text_embeds, add_time_ids, input_embedding=img_in,
+                add_sample=add_sample)                               # :1350
+            noise_pred_uncond, noise_pred_text = noise_pred.chunk(2)  # :1364
+            noise_pred = noise_pred_uncond + guidance_scale * (
+                noise_pred_text - noise_pred_uncond)                  # :1365
+            if guidance_rescale > 0.0:
+                noise_pred = rescale_noise_cfg_torch(
+                    noise_pred, noise_pred_text, guidance_rescale)    # :1369
+            sub_latents = sched.step(noise_pred, t, sub_latents)      # :1373
+            views_scheduler_status[sub_num] = copy.deepcopy(sched.__dict__)
+            concat_grid.append(sub_latents)
+        latents = tlc_vae_latents.grids_inverse(
+            torch.cat(concat_grid, dim=0))                            # :1409
+    return latents
