@@ -11,6 +11,7 @@ static shapes — replacing the reference's flash-attn monkey patches
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -340,6 +341,125 @@ class GenerateResult(NamedTuple):
     lengths: jax.Array     # [B] number of valid tokens
 
 
+def _sample_tokens(logits, key, temperature: float, top_p: float):
+    """Greedy (temperature<=0) or top-p nucleus sampling (the reference
+    samples at temp 0.2 / top-p 0.7, `llava/llm_agent.py:85-94`)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _generate_fn(model, max_new_tokens: int, eos_token_id: int,
+                 temperature: float, top_p: float, use_pad: bool,
+                 stop_seqs: Tuple[Tuple[int, ...], ...]):
+    """One jitted program for the WHOLE generate: prefill + a
+    `lax.while_loop` decode over the static KV cache, with keyword
+    stopping evaluated on device. A single device dispatch per caption
+    batch — the previous host-driven loop paid one dispatch plus one
+    blocking readback per token, which through the ~0.4 s-latency device
+    tunnel dominated decode wall-time entirely."""
+    cfg = model.config
+    is_mpt = hasattr(cfg, "d_model")   # MPT family (captioner/mpt.py)
+
+    def kw_check(out, col, skip, done, stop_len):
+        """Device-side KeywordsStoppingCriteria (`llava/mm_utils.py:
+        216-247`): mark samples whose window ending at `col` equals a stop
+        sequence; record the keyword-free length. `skip`: samples already
+        done before this step keep their state."""
+        for seq in stop_seqs:
+            ln = len(seq)
+            start = col + 1 - ln
+            win = jax.lax.dynamic_slice_in_dim(
+                out, jnp.maximum(start, 0), ln, axis=1)
+            hit = ((start >= 0)
+                   & jnp.all(win == jnp.asarray(seq, jnp.int32), axis=1)
+                   & ~skip)
+            stop_len = jnp.where(hit, jnp.minimum(stop_len, start), stop_len)
+            done = done | hit
+        return done, stop_len
+
+    def run(params, prompt_embeds, key, pad_len):
+        b, s, _ = prompt_embeds.shape
+        max_len = s + max_new_tokens
+
+        # ---- prefill: one causal pass over the whole prompt that also
+        # writes the prompt k/v into the caches (q len > 1 selects the
+        # causal-prefill branch in LlamaAttention)
+        if is_mpt:
+            from .mpt import init_mpt_kv_caches
+
+            caches = init_mpt_kv_caches(cfg, b, max_len,
+                                        dtype=prompt_embeds.dtype)
+        else:
+            caches = init_kv_caches(cfg, b, max_len,
+                                    dtype=prompt_embeds.dtype)
+        if use_pad:
+            positions = jnp.maximum(
+                jnp.arange(s)[None] - pad_len[:, None], 0)
+            extra = {"pad_len": pad_len}
+        else:
+            positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            extra = {}
+        logits, caches = model.apply(params, prompt_embeds, positions,
+                                     caches, 0, jnp.asarray(s - 1), **extra)
+
+        key, sub = jax.random.split(key)
+        first = _sample_tokens(logits[:, -1, :], sub, temperature, top_p)
+        done = first == eos_token_id
+        out = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
+        out = out.at[:, 0].set(first)
+        lengths = jnp.ones((b,), jnp.int32)
+        stop_len = jnp.full((b,), max_new_tokens + 1, jnp.int32)
+        if stop_seqs:
+            done, stop_len = kw_check(out, jnp.asarray(0),
+                                      jnp.zeros((b,), bool), done, stop_len)
+
+        def cond(c):
+            i, done = c[0], c[4]
+            return jnp.logical_and(i < max_new_tokens - 1, ~jnp.all(done))
+
+        def body(c):
+            i, tok, caches, out, done, key, lengths, stop_len = c
+            done_prev = done
+            key, sub = jax.random.split(key)
+            emb = model.apply(params, tok[:, None], method="embed")
+            pos = jnp.broadcast_to(
+                jnp.asarray(s)[None, None] + i, (b, 1))
+            if use_pad:
+                pos = pos - pad_len[:, None]
+            logits, caches = model.apply(params, emb, pos, caches, s + i,
+                                         jnp.asarray(s) + i, **extra)
+            nxt = _sample_tokens(logits[:, -1, :], sub, temperature, top_p)
+            nxt = jnp.where(done_prev, eos_token_id, nxt)
+            done = jnp.logical_or(done_prev, nxt == eos_token_id)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, nxt[:, None], i + 1, axis=1)
+            if stop_seqs:
+                done, stop_len = kw_check(out, i + 1, done_prev, done,
+                                          stop_len)
+            lengths = lengths + (~done).astype(jnp.int32)
+            return i + 1, nxt, caches, out, done, key, lengths, stop_len
+
+        c = (jnp.asarray(0), first, caches, out, done, key, lengths,
+             stop_len)
+        _, _, _, out, _, _, lengths, stop_len = jax.lax.while_loop(
+            cond, body, c)
+        if stop_seqs:
+            lengths = jnp.minimum(lengths, stop_len)
+        return out, lengths
+
+    return jax.jit(run)
+
+
 def greedy_generate(
     model: LlamaForCausalLM,
     params,
@@ -352,7 +472,10 @@ def greedy_generate(
     stop_sequences: Optional[Tuple[Tuple[int, ...], ...]] = None,
     pad_len: Optional[jax.Array] = None,
 ) -> GenerateResult:
-    """Prefill + autoregressive decode with a static-shape KV cache.
+    """Prefill + autoregressive decode with a static-shape KV cache, as
+    ONE jitted device program (`_generate_fn`): prefill, `lax.while_loop`
+    decode, on-device keyword stopping. Early exit when every sample is
+    done happens inside the loop condition.
 
     temperature<=0 -> greedy; otherwise top-p nucleus sampling with
     `jax.random` (the reference samples at temp 0.2 / top-p 0.7,
@@ -368,117 +491,21 @@ def greedy_generate(
     are masked out of attention and excluded from rotary positions.
     LLaMA/Mistral family only."""
     cfg = model.config
-    b, s, _ = prompt_embeds.shape
-    max_len = s + max_new_tokens
-
-    # ---- prefill: one causal pass over the whole prompt that also writes
-    # the prompt k/v into the caches (q len > 1 selects the causal-prefill
-    # branch in LlamaAttention)
-    if hasattr(cfg, "d_model"):  # MPT family (captioner/mpt.py)
-        from .mpt import init_mpt_kv_caches
-
-        caches = init_mpt_kv_caches(cfg, b, max_len,
-                                    dtype=prompt_embeds.dtype)
-    else:
-        caches = init_kv_caches(cfg, b, max_len, dtype=prompt_embeds.dtype)
+    b = prompt_embeds.shape[0]
     if pad_len is not None:
         assert not hasattr(cfg, "d_model"), \
             "pad_len (batched anyres) is a LLaMA/Mistral-family feature"
-        pad_len = jnp.asarray(pad_len, jnp.int32)
-        positions = jnp.maximum(
-            jnp.arange(s)[None] - pad_len[:, None], 0)
-        extra = {"pad_len": pad_len}
+        pl = jnp.asarray(pad_len, jnp.int32)
     else:
-        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-        extra = {}
-    logits, caches = model.apply(params, prompt_embeds, positions, caches, 0,
-                                 jnp.asarray(s - 1), **extra)
-    next_logits = logits[:, -1, :]
-
-    def sample(logits, key):
-        if temperature <= 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits = logits / temperature
-        if top_p < 1.0:
-            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(sorted_logits, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
-            cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
-            logits = jnp.where(logits < cutoff, -1e30, logits)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
-
-    if key is None:
-        key = jax.random.PRNGKey(0)
-
-    def cond(state):
-        i, _, _, _, done, _ = state
-        return jnp.logical_and(i < max_new_tokens, ~jnp.all(done))
-
-    def body(state):
-        i, tok, caches, _, done, key = state
-        key, sub = jax.random.split(key)
-        emb = model.apply(params, tok[:, None],
-                          method="embed")
-        pos = jnp.broadcast_to(jnp.asarray(s)[None, None] + i, (b, 1))
-        if pad_len is not None:
-            pos = pos - pad_len[:, None]
-        logits, caches = model.apply(params, emb, pos, caches, s + i,
-                                     jnp.asarray(s) + i, **extra)
-        nxt = sample(logits[:, -1, :], sub)
-        nxt = jnp.where(done, eos_token_id, nxt)
-        done = jnp.logical_or(done, nxt == eos_token_id)
-        return i + 1, nxt, caches, logits, done, key
-
-    key, sub = jax.random.split(key)
-    first = sample(next_logits, sub)
-    done0 = first == eos_token_id
-
+        pl = jnp.zeros((b,), jnp.int32)
     stop_seqs = tuple(tuple(int(t) for t in s)
                       for s in (stop_sequences or ()) if len(s))
-    max_stop = max((len(s) for s in stop_seqs), default=0)
-    host_tokens = np.full((b, max_new_tokens), eos_token_id, np.int64)
-    stop_lengths = np.full((b,), max_new_tokens + 1, np.int64)
-
-    def keyword_hits(step: int, done_np: np.ndarray) -> np.ndarray:
-        """Mark samples whose newest tokens complete a stop sequence;
-        record the keyword-free length."""
-        hit = np.zeros((b,), bool)
-        for bi in range(b):
-            if done_np[bi]:
-                continue
-            for seq in stop_seqs:
-                ln = len(seq)
-                if step + 1 >= ln and tuple(
-                        host_tokens[bi, step + 1 - ln: step + 1]) == seq:
-                    hit[bi] = True
-                    stop_lengths[bi] = min(stop_lengths[bi], step + 1 - ln)
-                    break
-        return hit
-
-    state = (jnp.asarray(0), first, caches, next_logits[:, None], done0, key)
-    # host-driven python loop over decode steps (each step is one jitted
-    # dispatch; early exit when every sample is done)
-    out_tokens = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
-    out_tokens = out_tokens.at[:, 0].set(first)
-    i, tok, caches, _, done, key = state
-    if stop_seqs:
-        host_tokens[:, 0] = np.asarray(first)
-        done = jnp.logical_or(done, jnp.asarray(keyword_hits(0, np.zeros(b, bool))))
-    lengths = jnp.ones((b,), jnp.int32)
-    for step in range(1, max_new_tokens):
-        if bool(jnp.all(done)):
-            break
-        prev_done = np.asarray(done)
-        i, tok, caches, _, done, key = body((i, tok, caches, None, done, key))
-        out_tokens = out_tokens.at[:, step].set(tok)
-        if stop_seqs:
-            host_tokens[:, step] = np.asarray(tok)
-            done = jnp.logical_or(done,
-                                  jnp.asarray(keyword_hits(step, prev_done)))
-        lengths = lengths + (~done).astype(jnp.int32)
-    if stop_seqs:
-        lengths = jnp.minimum(lengths, jnp.asarray(stop_lengths, jnp.int32))
+    fn = _generate_fn(model, int(max_new_tokens), int(eos_token_id),
+                      float(temperature), float(top_p), pad_len is not None,
+                      stop_seqs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    out_tokens, lengths = fn(params, prompt_embeds, key, pl)
     return GenerateResult(tokens=out_tokens, lengths=lengths)
 
 

@@ -21,9 +21,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
+# repo root on sys.path WITHOUT using PYTHONPATH (a PYTHONPATH entry breaks
+# the axon TPU plugin's backend discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+# host side runs on CPU: the axon device plugin registers lazily and clashes
+# with topology-only AOT init; the TARGET is still the real v5e compiler via
+# `topologies.get_topology_desc` + local libtpu
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -96,11 +107,16 @@ def main():
 
     cfg = TrainConfig(stage=2, batch_size_per_device=args.batch,
                       resolution=res)
-    state_shapes, = jax.eval_shape(
-        lambda up, dp: init_train_state(cfg, up, dp)[:1],
+    state_shapes = jax.eval_shape(
+        lambda up, dp: init_train_state(cfg, up, dp)[0],
         unet_shapes, de_shapes)
-    # tx built on the shape tree (labels depend only on structure)
-    _, tx = init_train_state(cfg, unet_shapes, de_shapes)
+    # tx built directly on the shape tree (labels depend only on tree
+    # structure; init_train_state itself would eagerly call tx.init/ema_init
+    # on ShapeDtypeStruct leaves)
+    from faithdiff_tpu.training.train import make_optimizer
+
+    tx = make_optimizer(cfg, {"unet": unet_shapes["params"],
+                              "denoise_encoder": de_shapes["params"]})
 
     def vae_encode(p, img, key):
         m = vae.apply(p, img, method=AutoencoderKL.encode_moments)

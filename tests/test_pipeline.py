@@ -255,3 +255,43 @@ def test_pipeline_host_loop_matches_scan():
     b = pipe_host(img, pe, pooled, num_inference_steps=3, seed=2,
                   output_type="latent")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pipeline_canvas_checkpoint_resume(tmp_path):
+    """Host-driven runs with `checkpoint_dir` persist each step's merged
+    canvas and RESUME after a crash (round-2 weak #1: two 8K overlap-0.25
+    attempts died to tunnel kernel faults and restarted from scratch).
+    A run interrupted after step k must, on re-call, skip steps <= k and
+    produce latents identical to an uninterrupted run."""
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(15).random((96, 96, 3)).astype(np.float32)
+    ck = str(tmp_path / "canvas")
+
+    pipe = build_tiny_pipeline()
+    pipe.host_loop_tile_threshold = 0   # force per-step dispatch
+    full = pipe(img, pe, pooled, num_inference_steps=3, seed=2,
+                output_type="latent", checkpoint_dir=ck)
+    import os
+
+    steps = sorted(f for f in os.listdir(ck) if f.endswith(".npy"))
+    assert steps == ["canvas_step0000.npy", "canvas_step0001.npy"]
+
+    # simulate a crash after step 0: drop the later checkpoint, then re-run
+    # with a dispatch counter — only steps 1 and 2 may execute
+    os.remove(os.path.join(ck, "canvas_step0001.npy"))
+    calls = []
+    inner = pipe._jit_denoise
+    pipe._jit_denoise = lambda *a, **k: (calls.append(1), inner(*a, **k))[1]
+    resumed = pipe(img, pe, pooled, num_inference_steps=3, seed=2,
+                   output_type="latent", checkpoint_dir=ck)
+    assert len(calls) == 2
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+    # mismatched run config must IGNORE the checkpoint (fresh start)
+    calls.clear()
+    pipe(img, pe, pooled, num_inference_steps=3, seed=3,
+         output_type="latent")
+    assert len(calls) == 3
