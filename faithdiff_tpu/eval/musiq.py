@@ -199,9 +199,20 @@ def tokenize_multiscale(img: np.ndarray, cfg: MUSIQConfig
 # converter + factory
 # ---------------------------------------------------------------------------
 
-def convert_musiq(state_dict: Dict, cfg: MUSIQConfig = MUSIQConfig()) -> Dict:
+def convert_musiq(state_dict: Dict, cfg: MUSIQConfig = MUSIQConfig(),
+                  key_map: Optional[Dict[str, str]] = None) -> Dict:
     """Canonical torch layout -> params. Linear `*.weight` transpose to
-    kernels; `hse` accepts [G, G, D] or the TF [G*G, D] flattening."""
+    kernels; `hse` accepts [G, G, D] or the TF [G*G, D] flattening.
+
+    `key_map`: optional released-checkpoint rename pass — maps SOURCE key
+    names (e.g. a TF google-research/musiq or pyiqa export) to the
+    canonical names consumed here; unmapped keys pass through unchanged.
+    Record the mapping for a given release as a JSON fixture next to the
+    checkpoint (`{"their.key": "blocks.0.attn.q.weight", ...}`) and load
+    with `json.load` — the tensors themselves are layout-identical
+    (fused-free q/k/v/out, row-major linears), so renaming is sufficient."""
+    if key_map is not None:
+        state_dict = {key_map.get(k, k): v for k, v in state_dict.items()}
     params: Dict = {}
 
     def dense(prefix):

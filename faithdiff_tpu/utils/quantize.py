@@ -15,6 +15,7 @@ from typing import Any, Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_params_fp8(
@@ -82,8 +83,11 @@ def int8_matmul(x: jax.Array, w: Int8Weight,
 # ---------------------------------------------------------------------------
 
 # the 16 NF4 levels: quantiles of N(0, 1) normalised to [-1, 1]
-# (Dettmers et al., "QLoRA", Table A.1 / bitsandbytes functional.py)
-NF4_CODE = jnp.asarray([
+# (Dettmers et al., "QLoRA", Table A.1 / bitsandbytes functional.py).
+# numpy, NOT jnp: a module-level jnp constant becomes an escaped tracer if
+# this module is first imported inside a jit trace (lazy import in
+# NF4Dense.__call__)
+NF4_CODE = np.asarray([
     -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
@@ -114,27 +118,60 @@ def quantize_nf4(w: jax.Array, block_size: int = 64) -> NF4Weight:
     idx = jnp.argmin(
         jnp.abs(normed[..., None] - NF4_CODE[None, None, :]), axis=-1
     ).astype(jnp.uint8)
-    hi, lo = idx[:, 0::2], idx[:, 1::2]
+    # half-block packing: FIRST half of each block in the high nibbles,
+    # second half in the low — dequant is then two [n, block/2] LUT decodes
+    # concatenated on axis 1. (An interleaved hi/lo pack needs a
+    # [n, block/2, 2] stack whose trailing dim of 2 TPU tiling pads 64x —
+    # measured 8.4 GB of padding on ONE 13B layer.)
+    hi, lo = idx[:, :block_size // 2], idx[:, block_size // 2:]
     packed = (hi << 4) | lo
     return NF4Weight(packed=packed, absmax=absmax, shape=shape)
 
 
-def dequantize_nf4(q: NF4Weight, dtype=jnp.bfloat16) -> jax.Array:
-    hi = (q.packed >> 4).astype(jnp.int32)
-    lo = (q.packed & 0xF).astype(jnp.int32)
-    idx = jnp.stack([hi, lo], axis=-1).reshape(q.packed.shape[0], -1)
-    vals = NF4_CODE[idx] * q.absmax[:, None]
+def _lut16(idx: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """16-entry LUT decode as a sum of selects. A `code[idx]` gather over
+    billions of elements is catastrophically slow on TPU (measured: ~1.1 s
+    to dequantize 13B weights — gather throughput ~6 G/s); 16 vectorized
+    compare+FMA ops on the VPU do the same work in tens of ms."""
+    out = jnp.zeros(idx.shape, dtype)
+    kk = jnp.asarray(np.arange(16), idx.dtype)
+    for k in range(16):
+        out = out + jnp.asarray(NF4_CODE[k], dtype) * \
+            (idx == kk[k]).astype(dtype)
+    return out
+
+
+def _dequant_nf4_oi(q: NF4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    """Decode to the STORED [out, in] orientation — no transpose. At 13B
+    scale a `.T` back to [in, out] is a full-weight copy XLA must
+    materialise (measured: compile-time HBM OOM in the captioner prefill);
+    consumers contract against dim 1 instead."""
+    # stay in uint8 until the final select (int32 indices quadruple the
+    # unpack buffers) and keep every intermediate [n, block/2]-shaped —
+    # TPU-tiling-friendly, no trailing tiny dims (see quantize_nf4)
+    vals = jnp.concatenate(
+        [_lut16(q.packed >> 4, dtype), _lut16(q.packed & 0xF, dtype)],
+        axis=1) * q.absmax[:, None].astype(dtype)
     out_f, in_f = q.shape[1], q.shape[0]
-    return vals.reshape(out_f, in_f).T.astype(dtype)
+    return vals.reshape(out_f, in_f)
+
+
+def dequantize_nf4(q: NF4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    return _dequant_nf4_oi(q, jnp.float32).T.astype(dtype)
 
 
 def nf4_matmul(x: jax.Array, q: NF4Weight,
                compute_dtype=jnp.bfloat16) -> jax.Array:
-    """Weight-only NF4 matmul: dequantise (fused by XLA into the matmul
-    prologue) then bf16 MXU matmul."""
-    w = dequantize_nf4(q, compute_dtype)
-    return jnp.dot(x.astype(compute_dtype), w,
-                   preferred_element_type=jnp.float32).astype(compute_dtype)
+    """Weight-only NF4 matmul: decode (select-sum LUT, fused by XLA into
+    the matmul prologue) then bf16 MXU matmul contracting against the
+    stored [out, in] layout (the transpose folds into the dot's dimension
+    numbers instead of copying the weight)."""
+    w_oi = _dequant_nf4_oi(q, compute_dtype)
+    y = jax.lax.dot_general(
+        x.astype(compute_dtype), w_oi,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y.astype(compute_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -107,3 +107,26 @@ def test_inception_tolerates_fc_and_auxlogits():
     tree = convert_inception(sd)
     assert "fc" not in tree and "AuxLogits" not in tree
     assert tree["Conv2d_1a_3x3"]["conv"]["kernel"].shape == (3, 3, 3, 32)
+
+
+def test_musiq_key_map_rename_pass():
+    """`convert_musiq(key_map=...)` converts a foreign-named checkpoint via
+    a recorded rename manifest (round-2 missing #4: the promised key-rename
+    pass for released TF/pyiqa MUSIQ exports)."""
+    import torch
+
+    from faithdiff_tpu.eval.musiq import MUSIQConfig, convert_musiq
+    from test_musiq import CFG, TorchMUSIQ
+
+    torch.manual_seed(0)
+    tm = TorchMUSIQ(CFG).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    # a foreign layout: every key prefixed (as a released export might be)
+    foreign = {f"model.{k}": v for k, v in sd.items()}
+    key_map = {f"model.{k}": k for k in sd}
+    a = convert_musiq(sd, CFG)
+    b = convert_musiq(foreign, CFG, key_map=key_map)
+    import jax
+
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(la, lb)
