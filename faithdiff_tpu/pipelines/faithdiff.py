@@ -88,7 +88,16 @@ def _canvas_ckpt_save(ckpt_dir: str, meta: dict, step: int,
 
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_path = os.path.join(ckpt_dir, "canvas_meta.json")
-    if not os.path.exists(meta_path):
+    stale = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stale = json.load(f) != meta
+    if stale:
+        # new run configuration: drop checkpoints from the previous run so
+        # they can never be resumed against the wrong metadata
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("canvas_step") and name.endswith(".npy"):
+                os.remove(os.path.join(ckpt_dir, name))
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(meta_path + ".tmp", meta_path)

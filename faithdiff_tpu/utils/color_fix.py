@@ -6,6 +6,8 @@ of the LQ source onto the restored output. NHWC layout; values in [0, 1].
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +110,16 @@ def adain_color_fix(target: jax.Array, source: jax.Array) -> jax.Array:
 _HALO = 32
 
 
+@functools.lru_cache(maxsize=64)
+def _tile_fn_jit(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
+                 denorm: bool = False):
+    """Cached jit of the per-tile fix program. A fresh `jax.jit(_tile_fn(
+    ...))` closure per `streaming_color_fix` call RECOMPILED the wavelet
+    pyramid on every image — measured ~10 s of the 13.7 s non-phase tail
+    at 4K (scripts/profile_e2e_phases.py)."""
+    return jax.jit(_tile_fn(mode, to_uint8, crop_h, crop_w, denorm))
+
+
 def _tile_fn(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
              denorm: bool = False):
     def tile_fix(tgt_win, src_win, oy, ox, stats=None):
@@ -140,6 +152,9 @@ def _moments(x: jax.Array):
     return jnp.sum(xf, axis=(0, 1)), jnp.sum(jnp.square(xf), axis=(0, 1))
 
 
+_moments_jit = jax.jit(_moments)
+
+
 def streaming_color_fix(
     target: jax.Array,            # [1, H, W, C] on device (decode dtype)
     source: np.ndarray,           # [H, W, C] float in [0, 1] on host
@@ -160,15 +175,15 @@ def streaming_color_fix(
     tile = min(tile, h, w)
     win_h = min(tile + 2 * _HALO, h)
     win_w = min(tile + 2 * _HALO, w)
-    fn = jax.jit(_tile_fn("wavelet" if mode == "wavelet" else "adain",
-                          to_uint8, tile, tile, denorm))
+    fn = _tile_fn_jit("wavelet" if mode == "wavelet" else "adain",
+                      to_uint8, tile, tile, denorm)
 
     stats = None
     if mode != "wavelet":
         # pass 1: exact global moments, streamed tile by tile (identity
         # stats for "nofix" so the same tile program quantizes/crops)
         if mode == "adain":
-            mom = jax.jit(_moments)
+            mom = _moments_jit
             acc = np.zeros((2, 2, c), np.float64)  # [tgt/src, sum/sq, C]
             for y0 in range(0, h, tile):
                 for x0 in range(0, w, tile):

@@ -18,6 +18,12 @@ architectures):
 - pyiqa PaQ2PiQ `RoIPoolModel-fit.10.bs.120.pth`: fastai resnet18 body
   (`body.*`) + concat-pool head (`head.{1,3,5,7}`).
 
+Additionally `tests/manifests/maniqa_official.json` (236 keys) is generated
+from the parity mirror `tests/test_maniqa.TorchMANIQA` at DEFAULT config —
+the official MANIQA architecture dims (timm vit_base_patch8_224 naming +
+dual swin stages + fc_score/fc_weight heads, the MANIQA-PIPAL release
+layout).
+
 The reference scores these metrics through pyiqa on CUDA
 (`/root/reference/test_metrics.py:127-141`).
 """

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--overlap", type=float, default=None)
     ap.add_argument("--use_fp8", action="store_true")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="override tile_chunk (default: 2 at >=4K else 4)")
     args = ap.parse_args()
 
     from faithdiff_tpu.config import PipelineConfig
@@ -44,7 +46,7 @@ def main():
             num_inference_steps=args.steps,
             use_tiled_vae=size >= 4096, **kw),
         dtype=jnp.bfloat16,
-        tile_chunk=2 if size >= 4096 else 4,
+        tile_chunk=args.chunk or (2 if size >= 4096 else 4),
         use_fp8=args.use_fp8,
     )
 
@@ -54,8 +56,13 @@ def main():
         def wrapper(*a, **k):
             t0 = time.perf_counter()
             out = fn(*a, **k)
-            device_sync(out if isinstance(out, jax.Array) else
-                        jax.tree.leaves(out)[0])
+            leaf = (out if isinstance(out, jax.Array)
+                    else jax.tree.leaves(out)[0])
+            if isinstance(leaf, jax.core.Tracer):
+                # called from inside another (jitted) phase — e.g.
+                # vae_decode inside _jit_postprocess; the outer timer owns it
+                return out
+            device_sync(leaf)
             phases[name] = phases.get(name, 0.0) + time.perf_counter() - t0
             return out
         return wrapper
@@ -86,7 +93,8 @@ def main():
     accounted = sum(phases.values())
     print(json.dumps({
         "metric": f"e2e_phase_breakdown_{size}_{args.steps}steps"
-                  + ("_fp8" if args.use_fp8 else ""),
+                  + ("_fp8" if args.use_fp8 else "")
+                  + (f"_chunk{args.chunk}" if args.chunk else ""),
         "value": round(total, 2), "unit": "s",
         "compile_s": round(compile_s, 1),
         "phases_s": {k: round(v, 2) for k, v in sorted(

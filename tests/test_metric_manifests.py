@@ -130,3 +130,21 @@ def test_musiq_key_map_rename_pass():
 
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(la, lb)
+
+
+def test_maniqa_from_official_dims_manifest():
+    """MANIQA converter against the official-architecture key set at FULL
+    dims (vit_base/patch8/224 + dual swin stages — the released
+    MANIQA-PIPAL layout; manifest generated from the parity mirror at
+    default config, `scripts/gen_metric_manifests.py` provenance notes)."""
+    import jax
+
+    from faithdiff_tpu.eval.maniqa import MANIQA, MANIQAConfig, convert_maniqa
+
+    cfg = MANIQAConfig()
+    params = convert_maniqa(synth_state_dict("maniqa_official.json"), cfg)
+    crop = np.random.default_rng(2).uniform(
+        size=(1, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    score = MANIQA(cfg).apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(crop))
+    assert np.isfinite(float(score[0]))
