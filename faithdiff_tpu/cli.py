@@ -50,6 +50,10 @@ def _add_restore_args(p: argparse.ArgumentParser):
                    help="real negative prompt text (reference encode_prompt, "
                         "`pipeline_FaithDiff_tlc.py:485-717`); empty keeps "
                         "the force-zeros-for-empty-prompt default")
+    p.add_argument("--canvas_resume_dir", default=None,
+                   help="per-step canvas checkpointing: a crashed "
+                        "large-image run resumes at the next denoise step "
+                        "on re-invocation (host-driven path only)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test-config models (CI smoke runs)")
 
@@ -185,10 +189,13 @@ def cmd_restore(argv):
         neg_pe = neg_pooled = None
         if args.negative_prompt and encode is not None:
             neg_pe, neg_pooled = encode(args.negative_prompt)
+        ck = ({"checkpoint_dir": os.path.join(
+                  args.canvas_resume_dir, os.path.splitext(name)[0])}
+              if args.canvas_resume_dir else {})
         out = pipe(lr, pe, pooled, seed=args.seed,
                    negative_prompt_embeds=neg_pe,
                    negative_pooled_prompt_embeds=neg_pooled,
-                   output_type="uint8")  # quantize on device: 4x readback
+                   output_type="uint8", **ck)  # quantize on device: 4x readback
         out = out[:h0, :w0]  # crop the /8 padding back off
         Image.fromarray(out).save(out_path)
         print(f"restored {name} -> {out_path}")
