@@ -37,6 +37,7 @@ def build_pipeline(
     tile_devices: int = 1,
     tile_chunk=None,
     use_fp8: bool = False,
+    max_chunks_per_dispatch=None,
 ) -> FaithDiffPipeline:
     """Build the pipeline; any params left None are randomly initialised
     (tiny shapes) — useful for dry runs and benchmarks without checkpoints.
@@ -167,6 +168,7 @@ def build_pipeline(
         tile_devices=tile_devices,
         tile_chunk=tile_chunk,
         unet_params_prepare=params_prepare,
+        max_chunks_per_dispatch=max_chunks_per_dispatch,
     )
 
 

@@ -159,6 +159,12 @@ class FaithDiffPipeline:
     # non-chunked path keeps the per-consumer convert fusion (12% faster
     # at 1024^2) by NOT hoisting.
     unet_params_prepare: Optional[Callable] = None
+    # split each denoise STEP into multiple device dispatches when the
+    # per-step chunk-loop iteration count exceeds this cap: the device
+    # tunnel kills dispatches longer than ~60 s, which makes extreme tile
+    # counts (8K at overlap 0.25 = 841 tiles = 211 chunk-iterations)
+    # un-runnable as one dispatch. None = never split.
+    max_chunks_per_dispatch: Optional[int] = None
 
     # ------------------------------------------------------------------
     # jitted core
@@ -180,6 +186,18 @@ class FaithDiffPipeline:
         self._jit_postprocess = jax.jit(
             self._postprocess, static_argnames=("color_fix", "to_uint8"))
         self._jit_denorm = jax.jit(self._denormalize_latents)
+        # split-dispatch denoise (extreme tile counts): one scheduler step
+        # over one tile sub-range per dispatch + a separate merge dispatch
+        self._jit_denoise_part = jax.jit(
+            self._denoise_part,
+            static_argnames=("layout", "num_steps", "guidance_scale",
+                             "guidance_rescale", "add_sample", "tile_chunk"),
+        )
+        self._jit_merge = jax.jit(
+            lambda tiles, layout: merge_tiles(
+                tiles, layout,
+                jnp.asarray(gaussian_tile_weights(*layout.kernel))),
+            static_argnames=("layout",))
 
     def _denormalize_latents(self, latents):
         if self.latents_mean is not None and self.latents_std is not None:
@@ -350,6 +368,81 @@ class FaithDiffPipeline:
         )
         return latents
 
+    def _denoise_part(
+        self,
+        unet_params,
+        latents: jax.Array,             # [1, h, w, 4] current canvas
+        image_latent_tiles: jax.Array,  # UNSPLIT [1, H, W, C] feature map
+        prompt_embeds: jax.Array,       # [2, 77*, 2048]
+        pooled_embeds: jax.Array,       # [2, 1280]
+        time_ids_part: jax.Array,       # [P, 6] this part's tiles
+        offsets_part: jax.Array,        # [P, 2] latent offsets
+        step_index: jax.Array,          # dynamic scheduler step
+        layout: TileLayout,
+        num_steps: int,
+        guidance_scale: float,
+        guidance_rescale: float,
+        add_sample: bool,
+        tile_chunk: int,
+    ) -> jax.Array:
+        """ONE scheduler step over ONE tile sub-range -> stepped tiles
+        [P, k, k, 4]. The host runs several of these per step plus a merge
+        dispatch (`_jit_merge`) so no single dispatch exceeds the tunnel's
+        ~60 s kill at extreme tile counts (8K overlap-0.25 = 841 tiles).
+        Lazy-mode only: both the latent canvas and the LQ feature map are
+        sliced per chunk via `offsets_part`. Same math as `_denoise_loop`'s
+        step_fn — equality-tested in
+        `tests/test_pipeline.py::test_pipeline_split_dispatch_matches`."""
+        sched = self.scheduler
+        state = sched.set_timesteps(num_steps)
+        k1, k2 = layout.kernel
+        p_count = time_ids_part.shape[0]
+        chunk = min(tile_chunk, p_count)
+        i = step_index
+        t = state.timesteps[i]
+
+        hoist_dequant = self.unet_params_prepare is not None
+        if hoist_dequant:
+            unet_params = self.unet_params_prepare(unet_params)
+        unet_kw = {"skip_dequant": True} if hoist_dequant else {}
+
+        ctx_c = jnp.tile(prompt_embeds, (chunk, 1, 1))
+        pooled_c = jnp.tile(pooled_embeds, (chunk, 1))
+
+        def slice_canvas(canvas, offs):
+            c = canvas.shape[-1]
+
+            def one(off):
+                return jax.lax.dynamic_slice(
+                    canvas, (0, off[0], off[1], 0), (1, k1, k2, c))[0]
+
+            return jax.vmap(one)(offs)
+
+        def per_chunk(args):
+            ti, off = args
+            tiles_c = slice_canvas(latents, off)
+            img_c = slice_canvas(image_latent_tiles, off)
+            model_in = jnp.repeat(tiles_c, 2, axis=0)
+            model_in = sched.scale_model_input(state, model_in, i)
+            return self.unet_apply(
+                unet_params, model_in, t, ctx_c, pooled_c,
+                jnp.repeat(ti, 2, axis=0), jnp.repeat(img_c, 2, axis=0),
+                add_sample, 2, **unet_kw)
+
+        n_chunks = p_count // chunk
+
+        def r(x):
+            return x.reshape(n_chunks, chunk, *x.shape[1:])
+
+        eps = jax.lax.map(per_chunk, (r(time_ids_part), r(offsets_part)))
+        eps = eps.reshape(p_count, 2, *eps.shape[2:])
+        eps_uncond, eps_text = eps[:, 0], eps[:, 1]
+        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+        if guidance_rescale > 0.0:
+            eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+        tiles_part = slice_canvas(latents, offsets_part)
+        return sched.step(state, eps, i, tiles_part)
+
     # ------------------------------------------------------------------
     # host orchestration
     # ------------------------------------------------------------------
@@ -516,13 +609,53 @@ class FaithDiffPipeline:
                 if resumed is not None:
                     resume_step, lat_np = resumed
                     latents = jnp.asarray(lat_np)
-            for i in range(resume_step, num_inference_steps):
-                args = (common_args[0], latents) + common_args[2:]
-                latents = self._jit_denoise(
-                    *args, step_indices=jnp.asarray([i]), **common_kw)
-                if ck_meta is not None and i + 1 < num_inference_steps:
-                    _canvas_ckpt_save(checkpoint_dir, ck_meta, i,
-                                      np.asarray(latents))
+
+            # split-dispatch mode: at extreme tile counts even ONE step's
+            # chunk loop exceeds the tunnel's ~60 s dispatch kill (8K at
+            # overlap 0.25 = 211 iterations) — run each step as several
+            # part dispatches + one merge dispatch
+            t_pad = layout.num_tiles + pad_tiles
+            n_chunks_total = (t_pad // self.tile_chunk
+                              if lazy_tiles and self.tile_chunk else 1)
+            cap = self.max_chunks_per_dispatch
+            if (cap is not None and n_chunks_total > cap
+                    and self.tile_sharding is None):
+                chunk = self.tile_chunk
+                n_parts = -(-n_chunks_total // cap)
+                part = -(-t_pad // (n_parts * chunk)) * chunk
+                tot = n_parts * part
+                extra = np.arange(tot - t_pad) % layout.num_tiles
+                all_tids = np.concatenate(
+                    [base_time_ids, base_time_ids[extra]], axis=0)
+                all_off = np.concatenate(
+                    [tile_offsets, tile_offsets[extra]], axis=0)
+                for i in range(resume_step, num_inference_steps):
+                    stepped = [
+                        self._jit_denoise_part(
+                            self.unet_params, latents, image_latent_tiles,
+                            embeds, pooled,
+                            jnp.asarray(all_tids[p * part:(p + 1) * part]),
+                            jnp.asarray(all_off[p * part:(p + 1) * part]),
+                            jnp.asarray(i), layout=layout,
+                            num_steps=num_inference_steps,
+                            guidance_scale=float(guidance_scale),
+                            guidance_rescale=float(guidance_rescale),
+                            add_sample=bool(add_sample), tile_chunk=chunk)
+                        for p in range(n_parts)]
+                    tiles = jnp.concatenate(
+                        stepped, axis=0)[:layout.num_tiles]
+                    latents = self._jit_merge(tiles, layout=layout)
+                    if ck_meta is not None and i + 1 < num_inference_steps:
+                        _canvas_ckpt_save(checkpoint_dir, ck_meta, i,
+                                          np.asarray(latents))
+            else:
+                for i in range(resume_step, num_inference_steps):
+                    args = (common_args[0], latents) + common_args[2:]
+                    latents = self._jit_denoise(
+                        *args, step_indices=jnp.asarray([i]), **common_kw)
+                    if ck_meta is not None and i + 1 < num_inference_steps:
+                        _canvas_ckpt_save(checkpoint_dir, ck_meta, i,
+                                          np.asarray(latents))
         else:
             latents = self._jit_denoise(*common_args, **common_kw)
 

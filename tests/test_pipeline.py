@@ -295,3 +295,33 @@ def test_pipeline_canvas_checkpoint_resume(tmp_path):
     pipe(img, pe, pooled, num_inference_steps=3, seed=3,
          output_type="latent")
     assert len(calls) == 3
+
+
+def test_pipeline_split_dispatch_matches():
+    """Split-dispatch mode (each denoise step as several part dispatches +
+    a merge dispatch, for tile counts whose single-step chunk loop would
+    exceed the device tunnel's ~60 s dispatch kill — 8K at overlap 0.25 is
+    841 tiles) must produce latents identical to the single-dispatch
+    host loop."""
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(16).random((640, 640, 3)).astype(np.float32)
+
+    base = build_tiny_pipeline(tile_chunk=2)
+    base.host_loop_tile_threshold = 0
+    split = build_tiny_pipeline(tile_chunk=2, max_chunks_per_dispatch=3)
+    split.host_loop_tile_threshold = 0
+    split.unet_params = base.unet_params
+    split.vae_params = base.vae_params
+    split.denoise_encoder_params = base.denoise_encoder_params
+
+    a = base(img, pe, pooled, num_inference_steps=2, seed=3,
+             output_type="latent", guidance_rescale=0.2)
+    b = split(img, pe, pooled, num_inference_steps=2, seed=3,
+              output_type="latent", guidance_rescale=0.2)
+    # 640px -> 80x80 latent, 32-kernel, overlap 0.5 -> 16 tiles = 8 chunks
+    # of 2 -> cap 3 forces 3 parts
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
