@@ -120,6 +120,11 @@ def main(scenarios=("1024",), overlap=None, steps=20, use_fp8=False,
             # lax.map iterations, better MXU batching) and fits thanks to
             # lazy per-chunk tile slicing
             tile_chunk=4,
+            # split any step whose chunk loop exceeds ~48 iterations into
+            # multiple dispatches (tunnel kills ~60 s dispatches; 48 iters
+            # x ~0.5 s ~= 24 s). Only kicks in at extreme tile counts
+            # (8K overlap 0.25 = 211 iterations).
+            max_chunks_per_dispatch=48,
             use_fp8=use_fp8,
         )
         rng = np.random.default_rng(0)
