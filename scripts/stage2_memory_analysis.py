@@ -32,8 +32,13 @@ import jax
 
 # host side runs on CPU: the axon device plugin registers lazily and clashes
 # with topology-only AOT init; the TARGET is still the real v5e compiler via
-# `topologies.get_topology_desc` + local libtpu
+# `topologies.get_topology_desc` + local libtpu. NOTE libtpu's
+# /tmp/libtpu_lockfile makes this mutually exclusive with the axon device
+# plugin — run only while the chip is idle.
 jax.config.update("jax_platforms", "cpu")
+# persist the (>75 CPU-min at batch 16) stage-2 compile across attempts
+jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import jax.numpy as jnp
 import numpy as np
