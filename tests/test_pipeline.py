@@ -325,3 +325,32 @@ def test_pipeline_split_dispatch_matches():
     # of 2 -> cap 3 forces 3 parts
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_canvas_resume_under_split_dispatch(tmp_path):
+    """Canvas checkpoint/resume composes with split-dispatch mode (the 8K
+    overlap-0.25 configuration uses both)."""
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(17).random((640, 640, 3)).astype(np.float32)
+    ck = str(tmp_path / "canvas")
+
+    pipe = build_tiny_pipeline(tile_chunk=2, max_chunks_per_dispatch=3)
+    pipe.host_loop_tile_threshold = 0
+    full = pipe(img, pe, pooled, num_inference_steps=2, seed=4,
+                output_type="latent", checkpoint_dir=ck)
+    import os
+
+    assert sorted(os.listdir(ck)) == ["canvas_meta.json",
+                                      "canvas_step0000.npy"]
+    calls = []
+    inner = pipe._jit_denoise_part
+    pipe._jit_denoise_part = \
+        lambda *a, **k: (calls.append(1), inner(*a, **k))[1]
+    resumed = pipe(img, pe, pooled, num_inference_steps=2, seed=4,
+                   output_type="latent", checkpoint_dir=ck)
+    # resume skips step 0 entirely: only step 1's part dispatches run
+    assert 0 < len(calls) <= 3
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
