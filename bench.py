@@ -13,25 +13,76 @@ at fp16 on CUDA there).
 we are faster). The reference repo publishes no numbers (BASELINE.md); we
 use 200 ms as the reference-class figure for an SDXL UNet CFG-pair step at
 1024^2 on the 24GB consumer GPUs the reference targets (README.md:19).
+
+Outage resilience: the TPU backend rides a tunnel that dies transiently
+(round 3 lost its official sample to exactly that, rc=1). Before touching
+the backend in-process we PROBE it in a subprocess with bounded backoff;
+on persistent failure we emit the last-good measurement from
+`bench_last_good.json` with an explicit `"stale": true` marker instead of
+failing with rc=1.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-
-# persistent compile cache: SDXL-scale jits take ~10 min through the
-# device tunnel; cache them across processes/rounds
-jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-import jax.numpy as jnp
-import numpy as np
+_HERE = os.path.dirname(os.path.abspath(__file__))
+# persistent compile cache: SDXL-scale jits take ~10 min through the device
+# tunnel; keep the cache INSIDE the repo so round-boundary /tmp wipes do not
+# evict it (gitignored)
+_CACHE_DIR = os.path.join(_HERE, ".jax_cache")
+_LAST_GOOD = os.path.join(_HERE, "bench_last_good.json")
 
 REFERENCE_MS = 200.0
 
 
-def main():
+def _probe_backend(window_s: float, interval_s: float = 20.0) -> bool:
+    """True once `jax.devices()` succeeds in a SUBPROCESS (a failed in-process
+    backend init can leave poisoned plugin state; the probe keeps retries
+    clean). Bounded by `window_s` seconds of backoff."""
+    deadline = time.time() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=max(60.0, interval_s * 6))
+        if r.returncode == 0:
+            return True
+        if time.time() >= deadline:
+            tail = (r.stderr or b"").decode(errors="replace")[-400:]
+            print(f"[bench] backend probe failed (attempt {attempt}): {tail}",
+                  file=sys.stderr)
+            return False
+        time.sleep(interval_s)
+
+
+def _emit_stale(reason: str) -> int:
+    if os.path.exists(_LAST_GOOD):
+        with open(_LAST_GOOD) as f:
+            rec = json.load(f)
+        rec["stale"] = True
+        rec["stale_reason"] = reason
+        print(json.dumps(rec))
+        return 0
+    print(json.dumps({
+        "metric": "unet_ms_per_step_1024tile_bf16", "value": None,
+        "unit": "ms", "vs_baseline": None, "stale": True,
+        "stale_reason": reason + "; no last-good measurement recorded"}))
+    return 1
+
+
+def _measure() -> dict:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    import jax.numpy as jnp
+    import numpy as np
+
     on_tpu = jax.devices()[0].platform == "tpu"
 
     from faithdiff_tpu.config import UNetConfig, tiny_unet_config
@@ -83,7 +134,7 @@ def main():
     sync(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
 
-    print(json.dumps({
+    return {
         "metric": metric,
         "value": round(ms, 2),
         "unit": "ms",
@@ -93,8 +144,26 @@ def main():
         "baseline_source": (
             "assumed 200 ms reference-class constant for an SDXL CFG-pair "
             "step at 1024^2 on a 24GB consumer GPU; not a measured baseline"),
-    }))
+        "on_tpu": on_tpu,
+    }
+
+
+def main() -> int:
+    window = float(os.environ.get("BENCH_RETRY_WINDOW_S", "480"))
+    if not _probe_backend(window):
+        return _emit_stale("TPU backend unavailable after "
+                           f"{window:.0f}s of probing with backoff")
+    try:
+        rec = _measure()
+    except Exception as e:  # backend died between probe and measurement
+        return _emit_stale(f"measurement failed: {type(e).__name__}: {e}")
+    if rec.pop("on_tpu"):
+        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(rec, f)
+    print(json.dumps(rec))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -19,8 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# persistent compilation cache: UNet fwd/bwd compiles dominate test time
-jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_jax_cache")
+# persistent compilation cache: UNet fwd/bwd compiles dominate test time.
+# Keep it INSIDE the repo: /tmp is wiped at round boundaries (gitignored)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache", "tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
