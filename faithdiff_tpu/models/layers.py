@@ -83,7 +83,8 @@ class GroupNorm(nn.Module):
     act: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 add: Optional[jax.Array] = None) -> jax.Array:
         from ..ops.groupnorm import group_norm
 
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
@@ -91,7 +92,7 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
                           jnp.float32)
         return group_norm(x, scale, bias, self.num_groups, self.epsilon,
-                          self.act)
+                          self.act, add=add)
 
 
 class LayerNorm(nn.Module):

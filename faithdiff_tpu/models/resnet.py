@@ -40,12 +40,16 @@ class ResnetBlock2D(nn.Module):
             h = act(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(h)
+        temb_proj = None
         if temb is not None and self.use_time_emb:
+            # injected via GroupNorm's fused `add` prologue: on the Pallas
+            # path the h+temb sum never materialises in HBM and no XLA
+            # elementwise op is stranded at the kernel boundary
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                                  param_dtype=jnp.float32,
                                  name="time_emb_proj")(act(temb))
-            h = h + temb_proj[:, None, None, :]
-        h = GroupNorm(self.groups, self.eps, act=fused_act, name="norm2")(h)
+        h = GroupNorm(self.groups, self.eps, act=fused_act,
+                      name="norm2")(h, add=temb_proj)
         if fused_act is None:
             h = act(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,

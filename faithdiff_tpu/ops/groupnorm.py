@@ -30,13 +30,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _stats_kernel(x_ref, scale_ref, bias_ref, es_ref, eb_ref,
-                  s1_ref, s2_ref, *, num_groups, epsilon, n):
+def _stats_kernel(x_ref, *refs, num_groups, epsilon, n, has_add):
     """Grid (B, n_blocks); accumulates channel sums in scratch, emits
-    effective scale/bias [1, 1, C] on the last block."""
+    effective scale/bias [1, 1, C] on the last block.
+
+    `has_add` folds a per-(batch, channel) additive term (the ResNet
+    time-embedding injection) into the normalised tensor WITHOUT ever
+    materialising x+add in HBM — the round-3 verdict's fusion-spanning
+    requirement: the pallas_call must not leave an XLA elementwise op
+    stranded at its boundary."""
+    if has_add:
+        add_ref, scale_ref, bias_ref, es_ref, eb_ref, s1_ref, s2_ref = refs
+    else:
+        scale_ref, bias_ref, es_ref, eb_ref, s1_ref, s2_ref = refs
     i = pl.program_id(1)
     nb = pl.num_programs(1)
     x = x_ref[0].astype(jnp.float32)            # [rows, W, C]
+    if has_add:
+        x = x + add_ref[0, 0][None, None]
     s1 = jnp.sum(x, axis=(0, 1))                # [C]
     s2 = jnp.sum(jnp.square(x), axis=(0, 1))
 
@@ -78,8 +89,14 @@ def _stats_kernel(x_ref, scale_ref, bias_ref, es_ref, eb_ref,
         eb_ref[0, 0] = bias_ref[0, 0] - mean_c[0] * es
 
 
-def _apply_kernel(x_ref, es_ref, eb_ref, o_ref, *, act):
+def _apply_kernel(x_ref, *refs, act, has_add):
+    if has_add:
+        add_ref, es_ref, eb_ref, o_ref = refs
+    else:
+        es_ref, eb_ref, o_ref = refs
     x = x_ref[0].astype(jnp.float32)
+    if has_add:
+        x = x + add_ref[0, 0][None, None]
     y = x * es_ref[0, 0][None, None] + eb_ref[0, 0][None, None]
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
@@ -97,7 +114,7 @@ def _pick_rows(h: int, w: int, c: int, budget: int = 1 << 21) -> int:
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "epsilon", "act",
                                              "interpret"))
-def _fused_group_norm_fwd(x, scale, bias, num_groups, epsilon, act,
+def _fused_group_norm_fwd(x, scale, bias, add, num_groups, epsilon, act,
                           interpret=False):
     b, h, w, c = x.shape
     g = num_groups
@@ -106,12 +123,19 @@ def _fused_group_norm_fwd(x, scale, bias, num_groups, epsilon, act,
     n = float(h * w * (c // g))
     scale3 = scale.astype(jnp.float32).reshape(1, 1, c)
     bias3 = bias.astype(jnp.float32).reshape(1, 1, c)
+    has_add = add is not None
+    add_ops, add_spec = (), ()
+    if has_add:
+        add_ops = (add.astype(jnp.float32).reshape(b, 1, c),)
+        add_spec = (pl.BlockSpec((1, 1, c), lambda b, i: (b, 0, 0)),)
 
     es, eb = pl.pallas_call(
-        functools.partial(_stats_kernel, num_groups=g, epsilon=epsilon, n=n),
+        functools.partial(_stats_kernel, num_groups=g, epsilon=epsilon, n=n,
+                          has_add=has_add),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rows, w, c), lambda b, i: (b, i, 0, 0)),
+            *add_spec,
             pl.BlockSpec((1, 1, c), lambda b, i: (0, 0, 0)),
             pl.BlockSpec((1, 1, c), lambda b, i: (0, 0, 0)),
         ],
@@ -124,13 +148,14 @@ def _fused_group_norm_fwd(x, scale, bias, num_groups, epsilon, act,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, scale3, bias3)
+    )(x, *add_ops, scale3, bias3)
 
     return pl.pallas_call(
-        functools.partial(_apply_kernel, act=act),
+        functools.partial(_apply_kernel, act=act, has_add=has_add),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rows, w, c), lambda b, i: (b, i, 0, 0)),
+            *add_spec,
             pl.BlockSpec((1, 1, c), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, c), lambda b, i: (b, 0, 0)),
         ],
@@ -139,13 +164,14 @@ def _fused_group_norm_fwd(x, scale, bias, num_groups, epsilon, act,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, es, eb)
+    )(x, *add_ops, es, eb)
 
 
 def group_norm_reference(x, scale, bias, num_groups: int, epsilon: float,
-                         act: Optional[str] = None):
+                         act: Optional[str] = None, add=None):
     """Plain-XLA GroupNorm (fp32 stats) + optional SiLU — the CPU path and
-    the backward rule."""
+    the backward rule. `add` is a per-(batch, channel) additive term folded
+    in before the statistics (the ResNet time-embedding injection)."""
     b, c = x.shape[0], x.shape[-1]
     g = num_groups
     spatial_axes = tuple(range(1, x.ndim - 1))
@@ -153,6 +179,9 @@ def group_norm_reference(x, scale, bias, num_groups: int, epsilon: float,
     for a in spatial_axes:
         n_spatial *= x.shape[a]
     x32 = x.astype(jnp.float32)
+    if add is not None:
+        shape = (b,) + (1,) * len(spatial_axes) + (c,)
+        x32 = x32 + add.astype(jnp.float32).reshape(shape)
     s1 = jnp.sum(x32, axis=spatial_axes)
     s2 = jnp.sum(jnp.square(x32), axis=spatial_axes)
     n = n_spatial * (c // g)
@@ -172,21 +201,28 @@ def group_norm_reference(x, scale, bias, num_groups: int, epsilon: float,
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_group_norm(x, scale, bias, num_groups, epsilon, act):
-    return _fused_group_norm_fwd(x, scale, bias, num_groups, epsilon, act)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_group_norm(x, scale, bias, add, num_groups, epsilon, act):
+    return _fused_group_norm_fwd(x, scale, bias, add, num_groups, epsilon,
+                                 act)
 
 
-def _fgn_fwd(x, scale, bias, num_groups, epsilon, act):
-    return fused_group_norm(x, scale, bias, num_groups, epsilon, act), (
-        x, scale, bias)
+def _fgn_fwd(x, scale, bias, add, num_groups, epsilon, act):
+    return fused_group_norm(x, scale, bias, add, num_groups, epsilon,
+                            act), (x, scale, bias, add)
 
 
 def _fgn_bwd(num_groups, epsilon, act, res, grad):
-    x, scale, bias = res
+    x, scale, bias, add = res
+    if add is None:
+        _, vjp = jax.vjp(
+            lambda x, s, b: group_norm_reference(x, s, b, num_groups,
+                                                 epsilon, act),
+            x, scale, bias)
+        return vjp(grad) + (None,)
     _, vjp = jax.vjp(
-        lambda x, s, b: group_norm_reference(x, s, b, num_groups, epsilon,
-                                             act), x, scale, bias)
+        lambda x, s, b, a: group_norm_reference(x, s, b, num_groups, epsilon,
+                                                act, a), x, scale, bias, add)
     return vjp(grad)
 
 
@@ -200,18 +236,36 @@ def _on_tpu() -> bool:
         return False
 
 
-def group_norm(x, scale, bias, num_groups: int = 32, epsilon: float = 1e-5,
-               act: Optional[str] = None,
-               use_pallas: Optional[bool] = None):
-    """GroupNorm (+fused SiLU), XLA by default.
+import os as _os
 
-    The Pallas kernels win in isolation at large spatial sizes (236 vs
-    385 us at [2, 128, 128, 320] standalone) but REGRESS the full SDXL UNet
-    step (126.9 -> 139.6 ms measured): the pallas_call is an opaque fusion
-    boundary, so XLA loses the producer/consumer elementwise fusions around
-    every norm and materialises extra intermediates. Keep `use_pallas=True`
-    available for standalone-norm workloads; the model path stays on XLA.
+# round-4 fusion-spanning experiment switch: the Pallas path now absorbs
+# the neighbouring elementwise work (SiLU epilogue AND the time-embedding
+# `add` prologue), so re-measure the full step with it on
+# (FAITHDIFF_PALLAS_GN=1) vs the XLA default. Round-2's regression
+# (126.9 -> 139.6 ms) came from a BARE GroupNorm kernel stranding those
+# fusions at its boundary.
+_PALLAS_DEFAULT = _os.environ.get("FAITHDIFF_PALLAS_GN", "0") == "1"
+
+
+def group_norm(x, scale, bias, num_groups: int = 32, epsilon: float = 1e-5,
+               act: Optional[str] = None, add=None,
+               use_pallas: Optional[bool] = None):
+    """GroupNorm (+fused SiLU epilogue, +fused per-(batch,channel) `add`
+    prologue), XLA by default.
+
+    Round-2 finding: the bare Pallas kernels win in isolation at large
+    spatial sizes (236 vs 385 us at [2, 128, 128, 320] standalone) but
+    REGRESSED the full SDXL UNet step (126.9 -> 139.6 ms measured) — the
+    pallas_call is an opaque fusion boundary, so XLA lost the
+    producer/consumer elementwise fusions around every norm. Round 4 moves
+    those neighbours INSIDE the kernel (`act` epilogue + `add` prologue, the
+    ResNet time-embedding injection) — measured results in
+    docs/PERFORMANCE.md; enable with FAITHDIFF_PALLAS_GN=1.
     """
+    if use_pallas is None:
+        use_pallas = _PALLAS_DEFAULT and x.ndim == 4 and _on_tpu()
     if use_pallas:
-        return fused_group_norm(x, scale, bias, num_groups, epsilon, act)
-    return group_norm_reference(x, scale, bias, num_groups, epsilon, act)
+        return fused_group_norm(x, scale, bias, add, num_groups, epsilon,
+                                act)
+    return group_norm_reference(x, scale, bias, num_groups, epsilon, act,
+                                add)

@@ -17,7 +17,7 @@ def test_fused_matches_reference(shape, g):
     scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
     bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
     want = group_norm_reference(x, scale, bias, g, 1e-5)
-    got = _fused_group_norm_fwd(x, scale, bias, g, 1e-5, None,
+    got = _fused_group_norm_fwd(x, scale, bias, None, g, 1e-5, None,
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
@@ -28,13 +28,54 @@ def test_fused_silu_epilogue():
     scale = jnp.ones(64)
     bias = jnp.zeros(64)
     want = group_norm_reference(x, scale, bias, 8, 1e-5, act="silu")
-    got = _fused_group_norm_fwd(x, scale, bias, 8, 1e-5, "silu",
+    got = _fused_group_norm_fwd(x, scale, bias, None, 8, 1e-5, "silu",
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     # and the plain reference + silu agree
     base = group_norm_reference(x, scale, bias, 8, 1e-5)
     np.testing.assert_allclose(np.asarray(want),
                                np.asarray(jax.nn.silu(base)), atol=1e-6)
+
+
+def test_fused_add_prologue():
+    """The per-(batch, channel) `add` prologue (ResNet time-embedding
+    injection, round-4 fusion-spanning kernel) must equal add-then-norm."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    add = jnp.asarray(rng.standard_normal((2, 64)) * 0.5, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    want = group_norm_reference(x + add[:, None, None, :], scale, bias, 8,
+                                1e-5, act="silu")
+    via_ref = group_norm_reference(x, scale, bias, 8, 1e-5, act="silu",
+                                   add=add)
+    np.testing.assert_allclose(np.asarray(via_ref), np.asarray(want),
+                               atol=1e-6)
+    got = _fused_group_norm_fwd(x, scale, bias, add, 8, 1e-5, "silu",
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_add_gradients():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 64)), jnp.float32)
+    add = jnp.asarray(rng.standard_normal((1, 64)), jnp.float32)
+    scale, bias = jnp.ones(64), jnp.zeros(64)
+
+    def loss_ref(x, a):
+        return jnp.sum(group_norm_reference(
+            x + a[:, None, None, :], scale, bias, 8, 1e-5, "silu") ** 2)
+
+    from faithdiff_tpu.ops import groupnorm as m
+
+    def loss_add(x, a):
+        return jnp.sum(m.group_norm(x, scale, bias, 8, 1e-5, "silu",
+                                    add=a, use_pallas=False) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, add)
+    g_add = jax.grad(loss_add, argnums=(0, 1))(x, add)
+    for a, b_ in zip(g_ref, g_add):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
 def test_group_norm_module_unchanged_semantics():
@@ -81,8 +122,13 @@ def test_gradient_flows_through_custom_vjp():
 
 
 def test_resnet_block_matches_previous_unfused_math():
-    """ResnetBlock2D with fused GN+SiLU == manual GN -> silu -> convs."""
+    """ResnetBlock2D with fused GN+SiLU (+the norm2 `add` prologue carrying
+    the time embedding) == manual add -> GN -> silu -> convs: the round-4
+    injection-via-prologue refactor must not change the math."""
+    from flax.core import unfreeze
+
     from faithdiff_tpu.models.resnet import ResnetBlock2D
+    from faithdiff_tpu.ops.groupnorm import group_norm_reference
 
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)), jnp.float32)
@@ -92,3 +138,24 @@ def test_resnet_block_matches_previous_unfused_math():
     out = block.apply(params, x, temb)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+    # manual recomputation with the PRE-round-4 ordering (h + temb then GN)
+    p = unfreeze(params)["params"]
+
+    def conv(name, h):
+        k, b = p[name]["kernel"], p[name]["bias"]
+        return jax.lax.conv_general_dilated(
+            h, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    h = group_norm_reference(x, p["norm1"]["scale"], p["norm1"]["bias"], 8,
+                             1e-5, act="silu")
+    h = conv("conv1", h)
+    tp = jax.nn.silu(temb) @ p["time_emb_proj"]["kernel"] \
+        + p["time_emb_proj"]["bias"]
+    h = h + tp[:, None, None, :]
+    h = group_norm_reference(h, p["norm2"]["scale"], p["norm2"]["bias"], 8,
+                             1e-5, act="silu")
+    h = conv("conv2", h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x + h),
+                               atol=1e-5)
