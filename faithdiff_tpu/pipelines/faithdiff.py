@@ -72,8 +72,10 @@ def _canvas_ckpt_load(ckpt_dir: str, meta: dict):
             step = int(name[len("canvas_step"):-len(".npy")])
             if best is None or step > best:
                 best = step
-    if best is None or best + 1 >= meta["steps"]:
+    if best is None:
         return None
+    # best == steps-1 resumes DIRECTLY into decode: a crash after the last
+    # denoise step but before decode must not re-denoise (~380-930 s at 8K)
     lat = np.load(os.path.join(ckpt_dir, f"canvas_step{best:04d}.npy"))
     return best + 1, lat
 
@@ -104,6 +106,40 @@ def _canvas_ckpt_save(ckpt_dir: str, meta: dict, step: int,
     path = os.path.join(ckpt_dir, f"canvas_step{step:04d}.npy")
     np.save(path + ".tmp.npy", latents)
     os.replace(path + ".tmp.npy", path)
+
+
+def _content_hash(*arrays) -> str:
+    """Hash of array contents for canvas-resume metadata: a resume must
+    only match a run with identical conditioning (prompt embeds change per
+    caption) and identical initial latents — not just identical flags."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in arrays:
+        if a is None:
+            h.update(b"none")
+            continue
+        x = np.asarray(a)
+        h.update(str((tuple(x.shape), str(x.dtype))).encode())
+        h.update(np.ascontiguousarray(x).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _params_fingerprint(params) -> str:
+    """Cheap weight-identity fingerprint: full tree structure/shapes/dtypes
+    plus the bytes of the smallest leaf (a zero-init projection bias flips
+    the moment a different checkpoint is loaded). Avoids hashing the full
+    ~5 GB parameter tree per run."""
+    import hashlib
+
+    leaves = jax.tree.leaves(params)
+    h = hashlib.sha256()
+    h.update(str([(tuple(l.shape), str(l.dtype))
+                  for l in leaves]).encode())
+    if leaves:
+        small = min(leaves, key=lambda l: l.size)
+        h.update(np.ascontiguousarray(np.asarray(small)).tobytes())
+    return h.hexdigest()[:16]
 
 
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
@@ -392,7 +428,13 @@ class FaithDiffPipeline:
         Lazy-mode only: both the latent canvas and the LQ feature map are
         sliced per chunk via `offsets_part`. Same math as `_denoise_loop`'s
         step_fn — equality-tested in
-        `tests/test_pipeline.py::test_pipeline_split_dispatch_matches`."""
+        `tests/test_pipeline.py::test_pipeline_split_dispatch_matches`.
+
+        Composes with tile sharding: the canvas and feature map are
+        replicated over the mesh, each chunk's slices are
+        sharding-constrained onto the tile axis (same scheme as
+        `_denoise_loop`'s lazy mode), so each device runs its sub-range of
+        every chunk with no cross-device gathers."""
         sched = self.scheduler
         state = sched.set_timesteps(num_steps)
         k1, k2 = layout.kernel
@@ -400,6 +442,11 @@ class FaithDiffPipeline:
         chunk = min(tile_chunk, p_count)
         i = step_index
         t = state.timesteps[i]
+
+        def shard_tiles(x):
+            if self.tile_sharding is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, self.tile_sharding)
 
         hoist_dequant = self.unet_params_prepare is not None
         if hoist_dequant:
@@ -420,8 +467,8 @@ class FaithDiffPipeline:
 
         def per_chunk(args):
             ti, off = args
-            tiles_c = slice_canvas(latents, off)
-            img_c = slice_canvas(image_latent_tiles, off)
+            tiles_c = shard_tiles(slice_canvas(latents, off))
+            img_c = shard_tiles(slice_canvas(image_latent_tiles, off))
             model_in = jnp.repeat(tiles_c, 2, axis=0)
             model_in = sched.scale_model_input(state, model_in, i)
             return self.unet_apply(
@@ -604,6 +651,13 @@ class FaithDiffPipeline:
                     "noise_source": noise_source,
                     "start_point": start_point,
                     "add_sample": bool(add_sample),
+                    # conditioning + initial-latents + weight identity: a
+                    # re-invocation with a different caption, caller-supplied
+                    # latents, or swapped checkpoint must NOT resume the
+                    # stale canvas (it would silently mix conditionings)
+                    "cond_hash": _content_hash(embeds, pooled),
+                    "init_latents_hash": _content_hash(latents),
+                    "params_fp": _params_fingerprint(self.unet_params),
                 }
                 resumed = _canvas_ckpt_load(checkpoint_dir, ck_meta)
                 if resumed is not None:
@@ -618,8 +672,7 @@ class FaithDiffPipeline:
             n_chunks_total = (t_pad // self.tile_chunk
                               if lazy_tiles and self.tile_chunk else 1)
             cap = self.max_chunks_per_dispatch
-            if (cap is not None and n_chunks_total > cap
-                    and self.tile_sharding is None):
+            if cap is not None and n_chunks_total > cap:
                 chunk = self.tile_chunk
                 n_parts = -(-n_chunks_total // cap)
                 part = -(-t_pad // (n_parts * chunk)) * chunk
@@ -645,7 +698,7 @@ class FaithDiffPipeline:
                     tiles = jnp.concatenate(
                         stepped, axis=0)[:layout.num_tiles]
                     latents = self._jit_merge(tiles, layout=layout)
-                    if ck_meta is not None and i + 1 < num_inference_steps:
+                    if ck_meta is not None:
                         _canvas_ckpt_save(checkpoint_dir, ck_meta, i,
                                           np.asarray(latents))
             else:
@@ -653,10 +706,20 @@ class FaithDiffPipeline:
                     args = (common_args[0], latents) + common_args[2:]
                     latents = self._jit_denoise(
                         *args, step_indices=jnp.asarray([i]), **common_kw)
-                    if ck_meta is not None and i + 1 < num_inference_steps:
+                    if ck_meta is not None:
                         _canvas_ckpt_save(checkpoint_dir, ck_meta, i,
                                           np.asarray(latents))
         else:
+            if checkpoint_dir is not None:
+                import warnings
+
+                warnings.warn(
+                    "checkpoint_dir is ignored on the single-dispatch scan "
+                    f"path ({layout.num_tiles} tiles <= host_loop_tile_"
+                    f"threshold={self.host_loop_tile_threshold}): the whole "
+                    "denoise loop is one device dispatch, so there are no "
+                    "per-step canvases to persist or resume.",
+                    stacklevel=2)
             latents = self._jit_denoise(*common_args, **common_kw)
 
         # free the LQ-feature tiles before decode (870 MB at 4K-class sizes)

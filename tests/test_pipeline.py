@@ -277,14 +277,26 @@ def test_pipeline_canvas_checkpoint_resume(tmp_path):
     import os
 
     steps = sorted(f for f in os.listdir(ck) if f.endswith(".npy"))
-    assert steps == ["canvas_step0000.npy", "canvas_step0001.npy"]
+    # the FINAL step's canvas is persisted too: a crash after the last
+    # denoise step but before decode resumes straight into decode
+    assert steps == ["canvas_step0000.npy", "canvas_step0001.npy",
+                     "canvas_step0002.npy"]
 
-    # simulate a crash after step 0: drop the later checkpoint, then re-run
-    # with a dispatch counter — only steps 1 and 2 may execute
-    os.remove(os.path.join(ck, "canvas_step0001.npy"))
     calls = []
     inner = pipe._jit_denoise
     pipe._jit_denoise = lambda *a, **k: (calls.append(1), inner(*a, **k))[1]
+
+    # crash after the FINAL step: re-call must run ZERO denoise dispatches
+    resumed = pipe(img, pe, pooled, num_inference_steps=3, seed=2,
+                   output_type="latent", checkpoint_dir=ck)
+    assert len(calls) == 0
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+    # simulate a crash after step 0: drop the later checkpoints, then re-run
+    # with a dispatch counter — only steps 1 and 2 may execute
+    os.remove(os.path.join(ck, "canvas_step0001.npy"))
+    os.remove(os.path.join(ck, "canvas_step0002.npy"))
+    calls.clear()
     resumed = pipe(img, pe, pooled, num_inference_steps=3, seed=2,
                    output_type="latent", checkpoint_dir=ck)
     assert len(calls) == 2
@@ -294,6 +306,24 @@ def test_pipeline_canvas_checkpoint_resume(tmp_path):
     calls.clear()
     pipe(img, pe, pooled, num_inference_steps=3, seed=3,
          output_type="latent")
+    assert len(calls) == 3
+
+    # same flags but DIFFERENT conditioning (a new caption produces new
+    # prompt embeds) must refuse to resume the stale canvas: advisor r3
+    # medium — resuming across conditionings silently mixes them
+    calls.clear()
+    pe2 = pe + 0.25
+    pipe(img, pe2, pooled, num_inference_steps=3, seed=2,
+         output_type="latent", checkpoint_dir=ck)
+    assert len(calls) == 3
+
+    # caller-supplied explicit latents change init_latents_hash: no resume
+    calls.clear()
+    lat0 = jnp.asarray(
+        np.random.default_rng(99).standard_normal((1, 12, 12, 4)),
+        jnp.float32)
+    pipe(img, pe, pooled, num_inference_steps=3, seed=2, latents=lat0,
+         output_type="latent", checkpoint_dir=ck)
     assert len(calls) == 3
 
 
@@ -344,7 +374,10 @@ def test_pipeline_canvas_resume_under_split_dispatch(tmp_path):
     import os
 
     assert sorted(os.listdir(ck)) == ["canvas_meta.json",
-                                      "canvas_step0000.npy"]
+                                      "canvas_step0000.npy",
+                                      "canvas_step0001.npy"]
+    # simulate a crash after step 0
+    os.remove(os.path.join(ck, "canvas_step0001.npy"))
     calls = []
     inner = pipe._jit_denoise_part
     pipe._jit_denoise_part = \
@@ -354,3 +387,37 @@ def test_pipeline_canvas_resume_under_split_dispatch(tmp_path):
     # resume skips step 0 entirely: only step 1's part dispatches run
     assert 0 < len(calls) <= 3
     np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+
+def test_pipeline_split_dispatch_sharded_matches():
+    """Split-dispatch under TILE SHARDING (round-3 verdict #1b: the
+    extreme-tile multi-chip configuration — 8K overlap 0.25 on a mesh
+    through a dispatch-limited transport — previously had no runnable
+    path): latents must match the unsharded split-dispatch run."""
+    from faithdiff_tpu.parallel.mesh import batch_sharding, make_mesh
+    from faithdiff_tpu.pipelines.factory import build_tiny_pipeline
+
+    cfg = tiny_unet_config()
+    pe, pooled = _embeds(cfg)
+    img = np.random.default_rng(18).random((640, 640, 3)).astype(np.float32)
+
+    base = build_tiny_pipeline(tile_chunk=2, max_chunks_per_dispatch=3)
+    base.host_loop_tile_threshold = 0
+    mesh = make_mesh(2)
+    sh = build_tiny_pipeline(tile_chunk=2, max_chunks_per_dispatch=3,
+                             tile_sharding=batch_sharding(mesh),
+                             tile_devices=2)
+    sh.host_loop_tile_threshold = 0
+    sh.unet_params = base.unet_params
+    sh.vae_params = base.vae_params
+    sh.denoise_encoder_params = base.denoise_encoder_params
+
+    a = base(img, pe, pooled, num_inference_steps=2, seed=5,
+             output_type="latent")
+    b = sh(img, pe, pooled, num_inference_steps=2, seed=5,
+           output_type="latent")
+    # not bit-identical: GSPMD partitioning changes reduction/fusion order
+    # inside the UNet (measured max |diff| 2.5e-5 over 2 steps); 1e-4 is
+    # the same cross-configuration tolerance the composition-parity tests
+    # use (tests/test_pipeline_composition_parity.py)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

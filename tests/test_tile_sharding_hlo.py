@@ -102,3 +102,40 @@ def test_chunked_lazy_tile_sharded_denoise_collectives_bounded():
     assert counts.get("all-reduce", 0) <= 4, counts
     assert counts.get("collective-permute", 0) <= 4, counts
     assert sum(counts.values()) <= 8, counts
+
+
+def test_split_dispatch_sharded_collectives_bounded():
+    """Round-3 verdict #1b: split-dispatch (`_denoise_part`) now composes
+    with tile sharding. Same communication bound as the chunked+lazy path:
+    the canvas and LQ feature map are replicated, each chunk's slices are
+    constrained onto the tile axis, and NOTHING may gather the feature map
+    (trailing dim 64 here, 512 at full scale). The part's stepped-tile
+    output [P, k, k, 4] is latent-channel and may be gathered once for the
+    host-side concatenate+merge."""
+    mesh = make_mesh(8)
+    bsh = batch_sharding(mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    pipe = build_tiny_pipeline(tile_sharding=bsh, tile_devices=8,
+                               tile_chunk=8, max_chunks_per_dispatch=2)
+
+    layout = compute_tile_layout(24, 24, (8, 8), 0.5)   # 25 tiles
+    feat = jax.device_put(jnp.zeros((1, 24, 24, 64)), rep)
+    part = 16                                           # 2 chunks of 8
+    lowered = pipe._jit_denoise_part.lower(
+        pipe.unet_params, jnp.zeros((1, 24, 24, 4)), feat,
+        jnp.zeros((2, 77, 64)), jnp.zeros((2, 64)),
+        jnp.zeros((part, 6)), jnp.zeros((part, 2), jnp.int32),
+        jnp.asarray(0),
+        layout=layout, num_steps=2, guidance_scale=5.0,
+        guidance_rescale=0.0, add_sample=True, tile_chunk=8)
+    hlo = lowered.compile().as_text()
+    counts = _collective_counts(hlo)
+
+    gathered = re.findall(r"= \S+\[([\d,]+)\]\S* all-gather\(", hlo)
+    for dims in gathered:
+        assert dims.endswith(",4"), f"all-gather of non-latent tensor: {dims}"
+    assert counts.get("all-gather", 0) <= 2, counts
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("all-reduce", 0) <= 4, counts
+    assert counts.get("collective-permute", 0) <= 4, counts
+    assert sum(counts.values()) <= 8, counts
