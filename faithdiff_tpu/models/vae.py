@@ -196,6 +196,8 @@ def tiled_apply(
     tile_in: int,
     overlap_factor: float,
     scale: float,
+    batched_fn=None,
+    batch: int = 0,
 ) -> jax.Array:
     """Apply `fn` (an image->feature map with resolution ratio `scale`) over
     overlapping spatial tiles of `x`, blending seams linearly.
@@ -204,6 +206,14 @@ def tiled_apply(
     stride `tile_in * (1 - overlap)`, output blend extent
     `tile_out * overlap`, rows/cols cropped to `tile_out - blend_extent` then
     concatenated. Works for encode (scale=1/8) and decode (scale=8).
+
+    `batched_fn` ([G, th, tw, C] -> [G, oh, ow, C']) runs same-shape tiles
+    as batched calls of `batch` tiles each (groups padded by repetition) —
+    the tile-parallel path: on a mesh the batch axis carries a tile
+    sharding so the VAE/denoise-encoder tail of an 8K run divides across
+    chips like the denoise loop does. The per-tile math is unchanged
+    (convs/GroupNorm are batch-independent); ragged edge tiles batch within
+    their own shape group, so no tile is ever padded spatially.
     """
     overlap_size = int(tile_in * (1 - overlap_factor))
     tile_out = int(round(tile_in * scale))
@@ -211,13 +221,17 @@ def tiled_apply(
     row_limit = tile_out - blend_extent
 
     h, w = x.shape[1], x.shape[2]
-    rows = []
-    for i in range(0, h, overlap_size):
-        row = []
-        for j in range(0, w, overlap_size):
-            tile = x[:, i:i + tile_in, j:j + tile_in, :]
-            row.append(fn(tile))
-        rows.append(row)
+    if batched_fn is not None and batch > 0:
+        rows = _tiled_apply_batched(batched_fn, x, tile_in, overlap_size,
+                                    batch)
+    else:
+        rows = []
+        for i in range(0, h, overlap_size):
+            row = []
+            for j in range(0, w, overlap_size):
+                tile = x[:, i:i + tile_in, j:j + tile_in, :]
+                row.append(fn(tile))
+            rows.append(row)
     result_rows = []
     for i, row in enumerate(rows):
         result_row = []
@@ -229,6 +243,42 @@ def tiled_apply(
             result_row.append(tile[:, :row_limit, :row_limit, :])
         result_rows.append(jnp.concatenate(result_row, axis=2))
     return jnp.concatenate(result_rows, axis=1)
+
+
+def _tiled_apply_batched(batched_fn, x: jax.Array, tile_in: int,
+                         overlap_size: int, batch: int):
+    """Run the tile grid through `batched_fn` in same-shape groups of
+    `batch` tiles, preserving `tiled_apply`'s row/column structure for the
+    blend pass. Groups are padded by repeating their first tiles; padded
+    outputs are dropped."""
+    h, w = x.shape[1], x.shape[2]
+    grid = []                       # [(row_idx, col_idx, tile)]
+    for i in range(0, h, overlap_size):
+        for j in range(0, w, overlap_size):
+            grid.append((i // overlap_size, j // overlap_size,
+                         x[:, i:i + tile_in, j:j + tile_in, :]))
+    n_rows = grid[-1][0] + 1
+    n_cols = grid[-1][1] + 1
+
+    groups: dict = {}
+    for k, (_, _, tile) in enumerate(grid):
+        groups.setdefault(tile.shape[1:3], []).append(k)
+
+    out: dict = {}
+    for idxs in groups.values():
+        padded = idxs + idxs[:(-len(idxs)) % batch]  # pad by repetition
+        for s in range(0, len(padded), batch):
+            sel = padded[s:s + batch]
+            # stack ONE batch at a time: a whole-group stack is ~GBs of
+            # full-resolution tiles at 8K
+            res = batched_fn(
+                jnp.concatenate([grid[k][2] for k in sel], axis=0))
+            for n, k in enumerate(sel):
+                if k not in out:
+                    out[k] = res[n][None]
+
+    return [[out[r * n_cols + c] for c in range(n_cols)]
+            for r in range(n_rows)]
 
 
 class DenoiseEncoder(nn.Module):

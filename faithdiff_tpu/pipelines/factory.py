@@ -109,6 +109,22 @@ def build_pipeline(
     de_tile = denoise_encoder_config.tile_sample_min_size
     de_overlap = denoise_encoder_config.tile_overlap_factor
 
+    # tile-parallel tail (round-3 verdict #1c): on a mesh, run the tiled
+    # VAE/denoise-encoder stages as batches of `tile_devices` same-shape
+    # tiles with the tile sharding on the batch axis, so the ~15 s
+    # non-denoise 8K tail divides across chips like the denoise loop does.
+    # Single chip keeps the per-tile path (batching buys nothing there and
+    # raises peak activation memory).
+    tail_batch = tile_devices if tile_sharding is not None else 0
+
+    def _shard_b(z):
+        if tile_sharding is None:
+            return z
+        return jax.lax.with_sharding_constraint(z, tile_sharding)
+
+    _de_jit_b = jax.jit(lambda params, tiles: _shard_b(
+        denoise_encoder.apply(params, _shard_b(tiles))))
+
     def de_apply(params, image):
         # tiled LQ-feature extraction for large inputs (the reference's
         # `enable_vae_tiling` also enables denoise_encoder tiling,
@@ -117,7 +133,9 @@ def build_pipeline(
             from ..models.vae import tiled_apply as _ta
 
             return _ta(lambda t: _de_jit(params, t), image, tile_in=de_tile,
-                       overlap_factor=de_overlap, scale=1 / 8)
+                       overlap_factor=de_overlap, scale=1 / 8,
+                       batched_fn=lambda ts: _de_jit_b(params, ts),
+                       batch=tail_batch)
         return _de_jit(params, image)
 
     from ..models.vae import tiled_apply
@@ -132,12 +150,19 @@ def build_pipeline(
                                       method=AutoencoderKL.encode_moments))
     _dec_jit = jax.jit(
         lambda params, z: vae.apply(params, z, method=AutoencoderKL.decode))
+    _enc_jit_b = jax.jit(lambda params, imgs: _shard_b(
+        vae.apply(params, _shard_b(imgs),
+                  method=AutoencoderKL.encode_moments)))
+    _dec_jit_b = jax.jit(lambda params, zs: _shard_b(
+        vae.apply(params, _shard_b(zs), method=AutoencoderKL.decode)))
 
     def vae_encode(params, image, key):
         if use_tiled_vae and max(image.shape[1:3]) > tile_sample:
             moments = tiled_apply(lambda t: _enc_jit(params, t), image,
                                   tile_in=tile_sample,
-                                  overlap_factor=overlap, scale=1 / 8)
+                                  overlap_factor=overlap, scale=1 / 8,
+                                  batched_fn=lambda ts: _enc_jit_b(params, ts),
+                                  batch=tail_batch)
         else:
             moments = _enc_jit(params, image)
         z = sample_from_moments(moments, key)
@@ -149,7 +174,9 @@ def build_pipeline(
         if use_tiled_vae and max(latents.shape[1:3]) > tile_latent:
             return tiled_apply(lambda z: _dec_jit(params, z), latents,
                                tile_in=tile_latent,
-                               overlap_factor=overlap, scale=8.0)
+                               overlap_factor=overlap, scale=8.0,
+                               batched_fn=lambda zs: _dec_jit_b(params, zs),
+                               batch=tail_batch)
         return _dec_jit(params, latents)
 
     return FaithDiffPipeline(
