@@ -29,26 +29,17 @@ from typing import Callable, Dict, Iterable, List, Optional, Sequence
 REVIEWER_SYSTEM = ("You are a helpful and precise assistant for checking "
                    "the quality of the answer.")
 
-# minimal built-in rules (the reference ships the full set in
-# `llava/eval/table/rule.json`; pass --rule to use such a file)
-DEFAULT_RULES = {
-    "default": {
-        "role": "Assistant",
-        "prompt": (
-            "We would like to request your feedback on the performance of "
-            "two AI assistants in response to the user question displayed "
-            "above.\nPlease rate the helpfulness, relevance, accuracy, "
-            "level of details of their responses. Each assistant receives "
-            "an overall score on a scale of 1 to 10, where a higher score "
-            "indicates better overall performance.\nPlease first output a "
-            "single line containing only two values indicating the scores "
-            "for Assistant 1 and 2, respectively. The two scores are "
-            "separated by a space.\nIn the subsequent line, please provide "
-            "a comprehensive explanation of your evaluation, avoiding any "
-            "potential bias and ensuring that the order in which the "
-            "responses were presented does not affect your judgment."),
-    },
-}
+# the full reviewer rule set — protocol constants (rubric prompt text)
+# mirroring the reference's `llava/eval/table/rule.json`, shipped as
+# `review_rules.json` next to this module; pass --rule to override
+def _load_default_rules() -> Dict[str, Dict]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "review_rules.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+DEFAULT_RULES = _load_default_rules()
 
 
 def parse_score(review: str) -> List[float]:
