@@ -16,6 +16,7 @@ convention, so we reproduce it exactly: attention mixes the `group` axis
 """
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -48,6 +49,41 @@ class ConditionEmbedding(nn.Module):
         return x
 
 
+def _group_attention_unrolled(q: jax.Array, k: jax.Array, v: jax.Array,
+                              n_head: int) -> jax.Array:
+    """Attention over a SMALL group axis, pixel-major, transpose-free.
+
+    q/k/v: [B, g, P, d_model] where attention mixes axis 1 (the CFG
+    uncond/cond pair at inference, g=2) and (B, P) are batch. Instead of
+    transposing ~40 MB activations into a [B*P, g, d] sequence layout for
+    the generic attention op (the copy/transpose bucket in the round-2 UNet
+    profile), the gxg score maps are computed as unrolled channel
+    reductions on the pixel-major arrays — pure VPU work XLA fuses with the
+    surrounding projections. Math mirrors `_xla_attention`: fp32 scores,
+    max-subtracted softmax, probs cast back to v.dtype for the weighted
+    sum."""
+    b, g, p, d = q.shape
+    hd = d // n_head
+    scale = 1.0 / math.sqrt(hd)
+    qh = q.reshape(b, g, p, n_head, hd).astype(jnp.float32) * scale
+    kh = k.reshape(b, g, p, n_head, hd).astype(jnp.float32)
+    vh = v.reshape(b, g, p, n_head, hd)
+    # s[i][j]: [B, P, n_head] score of query-group-i vs key-group-j
+    s = [[jnp.sum(qh[:, i] * kh[:, j], axis=-1) for j in range(g)]
+         for i in range(g)]
+    outs = []
+    for i in range(g):
+        m = s[i][0]
+        for j in range(1, g):
+            m = jnp.maximum(m, s[i][j])
+        e = [jnp.exp(s[i][j] - m) for j in range(g)]
+        denom = sum(e)
+        o = sum((e[j] / denom).astype(vh.dtype)[..., None] * vh[:, j]
+                for j in range(g))
+        outs.append(o.reshape(b, p, d))
+    return jnp.stack(outs, axis=1).astype(v.dtype)
+
+
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN residual attention block with packed qkv (torch MHA layout)."""
 
@@ -57,19 +93,26 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: [batch, seq, d_model]; attention runs over `seq`."""
+        """x: [batch, seq, d_model] (attention over `seq`) or
+        [B, g, P, d_model] with small g (attention over the group axis,
+        transpose-free — see `_group_attention_unrolled`)."""
+        group_mode = x.ndim == 4
         h = LayerNorm(name="ln_1")(x)
         qkv = nn.Dense(3 * self.d_model, dtype=self.dtype,
                        param_dtype=jnp.float32, name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, s, _ = q.shape
-        hd = self.d_model // self.n_head
+        if group_mode:
+            attn = _group_attention_unrolled(q, k, v, self.n_head)
+        else:
+            b, s, _ = q.shape
+            hd = self.d_model // self.n_head
 
-        def heads_first(t):
-            return t.reshape(b, s, self.n_head, hd).transpose(0, 2, 1, 3)
+            def heads_first(t):
+                return t.reshape(b, s, self.n_head, hd).transpose(0, 2, 1, 3)
 
-        attn = multi_head_attention(heads_first(q), heads_first(k), heads_first(v))
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, self.d_model)
+            attn = multi_head_attention(
+                heads_first(q), heads_first(k), heads_first(v))
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, s, self.d_model)
         attn = nn.Dense(self.d_model, dtype=self.dtype,
                         param_dtype=jnp.float32, name="out_proj")(attn)
         x = x + attn
@@ -114,6 +157,21 @@ class InformationTransformer(nn.Module):
         # torch MHA batch_first=False layout: seq = model batch (g),
         # attention "batch" = pixels (and independent groups)
         tokens = tokens.reshape(b // g, g, h * w, 2 * c)
+        if g <= 4:
+            # NHWC-native inference path (g=2 CFG pair): a pure reshape in,
+            # a pure reshape out — the pixel<->group transposes of the
+            # generic path moved ~40 MB per call at 128^2 latents
+            for i in range(self.num_layers):
+                tokens = ResidualAttentionBlock(
+                    self.d_model, self.n_head, dtype=self.dtype,
+                    name=f"layers_{i}",
+                )(tokens)
+            feat = nn.Dense(self.out_channels, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            name="spatial_ch_projs")(tokens)
+            return feat.reshape(b, h, w, self.out_channels)
         tokens = tokens.transpose(0, 2, 1, 3).reshape(b // g * h * w, g, 2 * c)
         for i in range(self.num_layers):
             tokens = ResidualAttentionBlock(
