@@ -110,11 +110,13 @@ class NF4Dense(nn.Module):
         from ..utils.quantize import NF4Weight, nf4_matmul
 
         in_features = x.shape[-1]
-        n = in_features * self.features
-        n_blocks = n // self.block_size
+        # half-row 2D storage shapes (NF4_PACK_HALFROW): the fused kernel
+        # consumes [out, in/2] / [out, in/64] directly — an in-jit reshape
+        # from flat block storage is a whole-tensor relayout on TPU
         packed = self.param("packed", nn.initializers.zeros,
-                            (n_blocks, self.block_size // 2), jnp.uint8)
-        absmax = self.param("absmax", nn.initializers.ones, (n_blocks,),
+                            (self.features, in_features // 2), jnp.uint8)
+        absmax = self.param("absmax", nn.initializers.ones,
+                            (self.features, in_features // self.block_size),
                             jnp.float32)
         q = NF4Weight(packed=packed, absmax=absmax,
                       shape=(in_features, self.features))
@@ -518,7 +520,8 @@ def quantize_llama_params(params, mode: str = "int8"):
     `quant="int8"` / `quant="nf4"` module structures.
 
     int8: Dense kernel [in, out] -> {values int8, scales f32[out]}
-    nf4:  Dense kernel [in, out] -> {packed u8[blocks, 32], absmax f32}
+    nf4:  Dense kernel [in, out] -> {packed u8[out, in/2],
+          absmax f32[out, in/64]} (half-row layout, NF4_PACK_HALFROW)
     (the reference's load_8bit / load_4bit, `llava/model/builder.py:29-38`)
     """
     from ..utils.quantize import quantize_int8, quantize_nf4

@@ -176,7 +176,7 @@ def test_nf4_roundtrip_accuracy():
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
     q = quantize_nf4(w, block_size=64)
-    assert q.packed.shape == (32, 32) and q.absmax.shape == (32,)
+    assert q.packed.shape == (32, 32) and q.absmax.shape == (32, 1)
     back = dequantize_nf4(q, jnp.float32)
     assert back.shape == w.shape
     # worst-case code gap is 0.28 * absmax (around -1..-0.7); typical err ~4%
