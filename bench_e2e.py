@@ -16,8 +16,13 @@ import time
 import jax
 
 # persistent compile cache: SDXL-scale jits take ~10 min through the
-# device tunnel; cache them across processes/rounds
-jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_tpu_cache")
+# device tunnel; keep it INSIDE the repo so round-boundary /tmp wipes do
+# not evict it (gitignored)
+import os as _os
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax.numpy as jnp
 import numpy as np
