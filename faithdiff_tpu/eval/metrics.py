@@ -162,7 +162,14 @@ def metric_availability(
                         "UNAVAILABLE: no PaQ-2-PiQ weights "
                         "(eval/paq2piq.npz or --paq2piq_weights)")
         elif m == "maniqa-pipal":
-            avail[m] = ("native" if maniqa_fn is not None else
+            # protocol caveat surfaced in the OUTPUT (not just the
+            # docstring): our crops are a deterministic 5-crop, the
+            # published MANIQA protocol averages 20 RANDOM crops — scores
+            # will not numerically match pyiqa on real images; the delta
+            # must be measured the day real weights exist (eval/maniqa.py)
+            avail[m] = ("native (deterministic 5-crop; published protocol "
+                        "is 20 random crops — not numerically comparable "
+                        "to pyiqa)" if maniqa_fn is not None else
                         "UNAVAILABLE: no MANIQA weights (eval/maniqa.npz "
                         "or --maniqa_weights)")
         elif m == "fid":
