@@ -37,7 +37,10 @@ import jax
 # plugin — run only while the chip is idle.
 jax.config.update("jax_platforms", "cpu")
 # persist the (>75 CPU-min at batch 16) stage-2 compile across attempts
-jax.config.update("jax_compilation_cache_dir", "/tmp/faithdiff_tpu_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import jax.numpy as jnp
