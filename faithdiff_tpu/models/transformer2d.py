@@ -19,6 +19,13 @@ from .layers import GroupNorm, LayerNorm
 
 Dtype = Any
 
+# round-4 experiment switch: packed [b, s, n*d] attention (no BSHD
+# transposes around every attention op). Measured A/B in
+# docs/PERFORMANCE.md; flip the default once the full-step number is in.
+import os as _os
+
+_BSND_ATTN = _os.environ.get("FAITHDIFF_BSND_ATTN", "0") == "1"
+
 
 class Attention(nn.Module):
     """Multi-head attention with separate q/k/v projections.
@@ -48,6 +55,14 @@ class Attention(nn.Module):
 
         b, sq, _ = q.shape
         sk = k.shape[1]
+
+        if _BSND_ATTN and not self.upcast:
+            # packed-layout attention: no BSHD transposes on either side
+            # (round-4 experiment against the copy/transpose bucket)
+            from ..ops.attention import attention_packed
+
+            out = attention_packed(q, k, v, self.heads).astype(x.dtype)
+            return dense(self.query_dim, "to_out", True)(out)
 
         def heads_first(t, s):
             return t.reshape(b, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)

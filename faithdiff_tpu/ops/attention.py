@@ -98,6 +98,157 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, causal):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_bsnd(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                       scale, heads, n_kv_blocks):
+    """One (batch, q_block, kv_block) program over PACKED [b, s, n*d]
+    layouts — the natural qkv-projection output. The BHSD kernel forces
+    four [b,s,n,d]<->[b,n,s,d] transposes around every attention op
+    (the round-2 profile's copy bucket); here head columns are sliced
+    in VMEM instead. Online softmax state per head lives in scratch and
+    carries across the kv grid dim.
+
+    q: [1, bq, n*d]; k/v: [1, bkv, n*d]; scratch acc [bq, n*d] f32,
+    m/l [heads, bq, 1] f32 (head indexed on the leading dim — lane-width-1
+    column stores into a [bq, heads] buffer are hostile to Mosaic).
+    """
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    d = q_ref.shape[-1] // heads
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = (q[:, sl].astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        s = jax.lax.dot_general(
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, bkv]
+        m_prev = m_ref[h]                                # [bq, 1]
+        l_prev = l_ref[h]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_ref[h] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
+        m_ref[h] = m_new
+
+    @pl.when(kb == n_kv_blocks - 1)
+    def _():
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            o_ref[0, :, sl] = (acc_ref[:, sl] / l_ref[h]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "block_q", "block_k",
+                              "interpret"))
+def _flash_attention_bsnd_impl(q, k, v, *, heads, scale, block_q=256,
+                               block_k=1024, interpret=False):
+    """Packed-layout flash attention: q [b, sq, n*d], k/v [b, skv, n*d],
+    non-causal, forward only. Returns [b, sq, n*d]."""
+    b, sq, f = q.shape
+    skv = k.shape[1]
+    d = f // heads
+    bq = _pick_block(sq, block_q)
+    bkv = _pick_block(skv, block_k)
+    grid = (b, sq // bq, skv // bkv)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_bsnd, scale=scale, heads=heads,
+                          n_kv_blocks=skv // bkv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, f), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bkv, f), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkv, f), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, f), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, f), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, f), jnp.float32),
+            pltpu.VMEM((heads, bq, 1), jnp.float32),
+            pltpu.VMEM((heads, bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * sq * skv * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * heads * sq * skv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _einsum_bsnd(q, k, v, heads: int, scale: float):
+    """Packed-layout attention reference in plain XLA (fp32 softmax) —
+    the short-sequence path and the backward rule for the BSND kernel."""
+    b, sq, f = q.shape
+    skv = k.shape[1]
+    d = f // heads
+    q4 = q.reshape(b, sq, heads, d)
+    k4 = k.reshape(b, skv, heads, d)
+    v4 = v.reshape(b, skv, heads, d)
+    s = jnp.einsum("bqnd,bknd->bnqk", q4, k4,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", p.astype(v.dtype), v4,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, sq, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_bsnd(q, k, v, heads, scale):
+    return _flash_attention_bsnd_impl(q, k, v, heads=heads, scale=scale)
+
+
+def _flash_bsnd_fwd(q, k, v, heads, scale):
+    return _flash_bsnd(q, k, v, heads, scale), (q, k, v)
+
+
+def _flash_bsnd_bwd(heads, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _einsum_bsnd(q, k, v, heads, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_bsnd.defvjp(_flash_bsnd_fwd, _flash_bsnd_bwd)
+
+
+def attention_packed(q, k, v, heads: int, scale: Optional[float] = None,
+                     use_flash: Optional[bool] = None,
+                     interpret: bool = False):
+    """Attention over packed [b, s, n*d] activations (the natural Dense
+    output layout) — no BSHD transposes on either side. Dispatches to the
+    BSND Pallas kernel for long self-attention shapes, else to a BSND
+    einsum (cross-attention over 77 text tokens)."""
+    sq, f = q.shape[1], q.shape[2]
+    skv = k.shape[1]
+    d = f // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_flash is None:
+        use_flash = (_on_tpu() and sq >= _MIN_PALLAS_SEQ
+                     and skv >= _MIN_PALLAS_SEQ
+                     and d % 64 == 0 and sq % 128 == 0 and skv % 128 == 0)
+    if use_flash:
+        if interpret:
+            return _flash_attention_bsnd_impl(
+                q, k, v, heads=heads, scale=scale, interpret=True)
+        return _flash_bsnd(q, k, v, heads, scale)
+    return _einsum_bsnd(q, k, v, heads, scale)
+
+
 def _chunked_xla_attention(q, k, v, scale: float, chunk: int = 1024):
     """Memory-efficient attention in plain XLA: lax.scan over KV chunks with
     a running online softmax. Used for long-KV shapes whose K/V do not fit
