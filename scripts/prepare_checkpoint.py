@@ -1,0 +1,129 @@
+"""Convert released checkpoint files into the restore CLI's layout.
+
+The reference factory downloads + split-loads released files at run time
+(`/root/reference/FaithDiff/create_FaithDiff_model.py:11-37`:
+RealVisXL/SDXL unet + jychen9811/FaithDiff `FaithDiff.bin` +
+sdxl-vae-fp16-fix + dual CLIP text encoders, paths in `CKPT_PTH.py`).
+Our `cli.py restore` instead consumes a directory of CONVERTED param
+trees (`cli.py:61-104`: `unet/ vae/ denoise_encoder/ text_encoders/`).
+This is the one-time converter between the two worlds:
+
+    python scripts/prepare_checkpoint.py \
+        --faithdiff_bin /path/FaithDiff.bin \
+        --unet /path/unet/diffusion_pytorch_model.[safetensors|bin] \
+        --vae /path/sdxl-vae-fp16-fix/diffusion_pytorch_model.safetensors \
+        --text_encoder /path/text_encoder/model.safetensors \
+        --text_encoder_2 /path/text_encoder_2/model.safetensors \
+        --out /path/converted_ckpt
+
+Layout notes (all verified against full-scale manifests in
+`tests/test_model_manifests.py` / `tests/manifests/`):
+- FaithDiff.bin is FLAT: core UNet keys (loaded non-strict over the SDXL
+  base) + 5 extra namespaces loaded strict
+  (`unet_2d_condition_vae_extension.py:444-478`). Core keys PRESENT in
+  the bin override the base SDXL unet, mirroring the reference's
+  non-strict load-over.
+- The denoise_encoder lives in its own tree (our pipeline wires it like
+  the reference wires `pipe.denoise_encoder`).
+- text_encoders/ holds the SDXLTextEncoder two-tower tree
+  (`text_encoder`/`text_encoder_2` submodules).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load(path):
+    from faithdiff_tpu.utils.convert import load_safetensors, load_torch_bin
+
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    return load_torch_bin(path)
+
+
+def prepare(faithdiff_bin=None, unet=None, vae=None, text_encoder=None,
+            text_encoder_2=None, out="converted_ckpt",
+            state_dicts=None) -> dict:
+    """Convert and save; returns {component: n_leaves}. `state_dicts` lets
+    tests inject already-loaded dicts keyed by the same names."""
+    from faithdiff_tpu.training.checkpoint import save_params
+    from faithdiff_tpu.utils.convert import (convert_clip_text,
+                                             convert_denoise_encoder,
+                                             convert_faithdiff_unet,
+                                             convert_state_dict, convert_vae,
+                                             split_faithdiff_bin)
+
+    sd = dict(state_dicts or {})
+
+    def get(name, path):
+        if name in sd:
+            return sd[name]
+        return _load(path) if path else None
+
+    import jax
+    os.makedirs(out, exist_ok=True)
+    written = {}
+
+    fd = get("faithdiff_bin", faithdiff_bin)
+    base = get("unet", unet)
+    if fd is not None:
+        core, extras = split_faithdiff_bin(fd)
+        if base is not None:
+            # reference semantics: bin's core keys override the base SDXL
+            # unet via the non-strict load (`:444-478`)
+            merged = dict(base)
+            merged.update(core)
+            core = merged
+        unet_params = convert_faithdiff_unet(core, extras)
+        save_params(os.path.join(out, "unet"), unet_params)
+        written["unet"] = len(jax.tree.leaves(unet_params))
+        de = convert_denoise_encoder(extras["denoise_encoder"])
+        save_params(os.path.join(out, "denoise_encoder"), de)
+        written["denoise_encoder"] = len(jax.tree.leaves(de))
+    elif base is not None:
+        unet_params = convert_state_dict(base)
+        save_params(os.path.join(out, "unet"), unet_params)
+        written["unet"] = len(jax.tree.leaves(unet_params))
+
+    v = get("vae", vae)
+    if v is not None:
+        vp = convert_vae(v)
+        save_params(os.path.join(out, "vae"), vp)
+        written["vae"] = len(jax.tree.leaves(vp))
+
+    te1 = get("text_encoder", text_encoder)
+    te2 = get("text_encoder_2", text_encoder_2)
+    if te1 is not None and te2 is not None:
+        tree = {"text_encoder": convert_clip_text(te1),
+                "text_encoder_2": convert_clip_text(te2,
+                                                    with_projection=True)}
+        save_params(os.path.join(out, "text_encoders"), tree)
+        written["text_encoders"] = len(jax.tree.leaves(tree))
+    return written
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--faithdiff_bin", default=None)
+    ap.add_argument("--unet", default=None,
+                    help="base SDXL unet state dict (diffusers layout)")
+    ap.add_argument("--vae", default=None)
+    ap.add_argument("--text_encoder", default=None)
+    ap.add_argument("--text_encoder_2", default=None)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+    written = prepare(**vars(args))
+    for k, n in written.items():
+        print(f"[prepare_checkpoint] {k}: {n} tensors")
+    if not written:
+        print("[prepare_checkpoint] nothing to convert (no inputs given)")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
