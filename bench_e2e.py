@@ -82,7 +82,10 @@ def caption_phase(image: np.ndarray) -> float:
 def main(scenarios=("1024",), overlap=None, steps=20, use_fp8=False,
          with_caption=False, resume_dir=None):
     """`overlap`/`steps` override the reference defaults (0.5 / 20) — the
-    documented "fast mode" trade-off is overlap 0.25 + 10 steps.
+    documented "fast mode" trade-off is overlap 0.75 (stride 96: fewer
+    tiles) + 10 steps; overlap 0.25 is the max-quality direction (more
+    tiles — see the round-3 overlap-semantics correction in
+    docs/PERFORMANCE.md).
     `use_fp8` measures the min-HBM weight-storage mode. `with_caption`
     prepends a 13B-int8 caption pass (the reference's primary entry runs
     LLaVA before every restore, `test.py:108`)."""

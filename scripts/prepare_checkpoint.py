@@ -16,6 +16,18 @@ This is the one-time converter between the two worlds:
         --text_encoder_2 /path/text_encoder_2/model.safetensors \
         --out /path/converted_ckpt
 
+The captioner branch converts the same way (reference builder:
+`llava/model/builder.py:26-148` loads llava-v1.5-13b + the separate
+openai/clip-vit-large-patch14-336 tower):
+
+    python scripts/prepare_checkpoint.py \
+        --llava /path/llava-v1.5-13b/pytorch_model.bin \
+        --clip_vision /path/clip-vit-large-patch14-336/model.safetensors \
+        --out /path/converted_ckpt
+    # -> converted_ckpt/captioner/{llama,projector,vision}; copy the real
+    # tokenizer files into converted_ckpt/captioner/tokenizer/ and point
+    # `cli.py caption --captioner_dir` at converted_ckpt/captioner
+
 Layout notes (all verified against full-scale manifests in
 `tests/test_model_manifests.py` / `tests/manifests/`):
 - FaithDiff.bin is FLAT: core UNet keys (loaded non-strict over the SDXL
@@ -46,8 +58,8 @@ def _load(path):
 
 
 def prepare(faithdiff_bin=None, unet=None, vae=None, text_encoder=None,
-            text_encoder_2=None, out="converted_ckpt",
-            state_dicts=None) -> dict:
+            text_encoder_2=None, llava=None, clip_vision=None,
+            out="converted_ckpt", state_dicts=None) -> dict:
     """Convert and save; returns {component: n_leaves}. `state_dicts` lets
     tests inject already-loaded dicts keyed by the same names."""
     from faithdiff_tpu.training.checkpoint import save_params
@@ -103,6 +115,34 @@ def prepare(faithdiff_bin=None, unet=None, vae=None, text_encoder=None,
                                                     with_projection=True)}
         save_params(os.path.join(out, "text_encoders"), tree)
         written["text_encoders"] = len(jax.tree.leaves(tree))
+
+    lv = get("llava", llava)
+    if lv is not None:
+        # released llava-v1.5 checkpoint layout: LM keys + model.mm_projector
+        # (the CLIP tower ships separately — openai/clip-vit-large-patch14-336
+        # — exactly as the reference builder loads it,
+        # `llava/model/builder.py:137-141`)
+        from faithdiff_tpu.utils.convert import (convert_clip_vision,
+                                                 convert_llama,
+                                                 convert_vision_projector)
+
+        cap_dir = os.path.join(out, "captioner")
+        lm_sd = {k: t for k, t in lv.items()
+                 if not k.startswith("model.mm_projector.")}
+        lp = convert_llama(lm_sd)
+        save_params(os.path.join(cap_dir, "llama"), lp)
+        written["captioner/llama"] = len(jax.tree.leaves(lp))
+        del lm_sd, lp
+        proj_sd = {k[len("model.mm_projector."):]: t for k, t in lv.items()
+                   if k.startswith("model.mm_projector.")}
+        pp = convert_vision_projector(proj_sd)
+        save_params(os.path.join(cap_dir, "projector"), pp)
+        written["captioner/projector"] = len(jax.tree.leaves(pp))
+        cv = get("clip_vision", clip_vision)
+        if cv is not None:
+            vp = convert_clip_vision(cv)
+            save_params(os.path.join(cap_dir, "vision"), vp)
+            written["captioner/vision"] = len(jax.tree.leaves(vp))
     return written
 
 
@@ -114,6 +154,13 @@ def main(argv=None):
     ap.add_argument("--vae", default=None)
     ap.add_argument("--text_encoder", default=None)
     ap.add_argument("--text_encoder_2", default=None)
+    ap.add_argument("--llava", default=None,
+                    help="released llava-v1.5 LM checkpoint "
+                    "(pytorch_model.bin / model.safetensors; LM + "
+                    "mm_projector keys) -> captioner/{llama,projector}")
+    ap.add_argument("--clip_vision", default=None,
+                    help="openai/clip-vit-large-patch14-336 state dict "
+                    "-> captioner/vision")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
     written = prepare(**vars(args))

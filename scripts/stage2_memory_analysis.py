@@ -77,6 +77,13 @@ def main():
     ap.add_argument("--batch", type=int, default=16,
                     help="per-device batch (reference recipe: 16)")
     ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--effort", type=float, default=None,
+                    help="xla exec_time_optimization_effort override "
+                    "(e.g. -1.0 = minimum scheduling effort). Cuts the "
+                    ">75-CPU-min compile several-fold; memory fitting "
+                    "still runs at default effort, but buffer "
+                    "assignment can differ from a full-effort compile — "
+                    "the value is recorded in the output record.")
     args = ap.parse_args()
 
     from jax.experimental import topologies
@@ -169,10 +176,17 @@ def main():
     lowered = jax.jit(step).lower(state_abs, batch_abs, key_abs, vae_abs)
     print("[stage2-mem] compiling (real TPU compiler, v5e:2x4)...",
           file=sys.stderr)
-    compiled = lowered.compile()
+    copts = ({} if args.effort is None
+             else {"exec_time_optimization_effort": args.effort})
+    import time as _time
+    _t0 = _time.perf_counter()
+    compiled = lowered.compile(compiler_options=copts or None)
+    compile_s = _time.perf_counter() - _t0
     ma = compiled.memory_analysis()
     out = {
         "variant": v,
+        "exec_time_optimization_effort": args.effort,
+        "compile_s": round(compile_s, 1),
         "per_device_batch": args.batch,
         "resolution": res,
         "argument_bytes": int(ma.argument_size_in_bytes),

@@ -110,3 +110,67 @@ def test_prepare_nothing_returns_empty(tmp_path):
     from prepare_checkpoint import prepare
 
     assert prepare(out=str(tmp_path / "o")) == {}
+
+
+def test_prepare_captioner_layout(tmp_path):
+    """Released llava-v1.5 layout (transformers LM keys + model.mm_projector)
+    + the separately-shipped CLIP tower convert into the exact
+    `captioner/{llama,vision,projector}` directory layout
+    `CaptionAgent.from_checkpoint` reads (reference builder flow,
+    `llava/model/builder.py:26-148`)."""
+    from transformers import CLIPVisionConfig as HFVCfg
+    from transformers import CLIPVisionModel
+    from transformers import LlamaConfig as HFLCfg
+    from transformers import LlamaForCausalLM as HFLlama
+
+    from prepare_checkpoint import prepare
+
+    hf_lm = HFLlama(HFLCfg(vocab_size=64, hidden_size=16,
+                           intermediate_size=32, num_hidden_layers=2,
+                           num_attention_heads=4,
+                           num_key_value_heads=4)).eval()
+    llava_sd = {k: v.clone() for k, v in hf_lm.state_dict().items()}
+    # mlp2x_gelu projector in the released key naming
+    llava_sd["model.mm_projector.0.weight"] = torch.randn(16, 8)
+    llava_sd["model.mm_projector.0.bias"] = torch.randn(16)
+    llava_sd["model.mm_projector.2.weight"] = torch.randn(16, 16)
+    llava_sd["model.mm_projector.2.bias"] = torch.randn(16)
+    hf_clip = CLIPVisionModel(HFVCfg(
+        image_size=56, patch_size=14, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        projection_dim=16)).eval()
+
+    out = tmp_path / "ckpt"
+    written = prepare(out=str(out), state_dicts={
+        "llava": llava_sd,
+        "clip_vision": {k: v.clone() for k, v in
+                        hf_clip.state_dict().items()},
+    })
+    assert set(written) == {"captioner/llama", "captioner/projector",
+                            "captioner/vision"}
+    from faithdiff_tpu.training.checkpoint import load_params
+
+    cap = out / "captioner"
+    llama_tree = load_params(str(cap / "llama"))
+    assert "embed_tokens" in llama_tree and "lm_head" in llama_tree
+    proj_tree = load_params(str(cap / "projector"))
+    kernels = [k for k in _flat_keys(proj_tree) if k.endswith("kernel")]
+    assert len(kernels) == 2
+    vision_tree = load_params(str(cap / "vision"))
+    assert any("patch_embedding" in k for k in _flat_keys(vision_tree))
+    # the LM tree feeds quantize_llama_params exactly as from_checkpoint
+    # does (the 13B-scale load itself is the env-gated manifest test)
+    from faithdiff_tpu.captioner.llama import quantize_llama_params
+
+    q = quantize_llama_params(llama_tree, mode="int8")
+    assert _flat_keys(q)
+
+
+def _flat_keys(tree, prefix=""):
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out += _flat_keys(v, f"{prefix}{k}/")
+    else:
+        out.append(prefix[:-1])
+    return out
