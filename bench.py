@@ -37,6 +37,7 @@ _CACHE_DIR = os.path.join(_HERE, ".jax_cache")
 _LAST_GOOD = os.path.join(_HERE, "bench_last_good.json")
 
 REFERENCE_MS = 200.0
+V5E_PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
 
 
 def _probe_backend(window_s: float, interval_s: float = 20.0) -> bool:
@@ -119,6 +120,20 @@ def _measure() -> dict:
         return model.apply(params, sample, t, ctx, pooled, time_ids, cond,
                            fusion_group_size=2)
 
+    # XLA cost analysis of the compiled step -> the falsifiable numbers
+    # (FLOPs, bytes, roofline); mirrors scripts/profile_unet.py
+    flops = bytes_acc = 0.0
+    try:
+        compiled = step.lower(
+            params, sample, t, ctx, pooled, time_ids, cond).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
     def sync(x):
         # NOTE: under the axon tunnel, block_until_ready() does not actually
         # block — force a device->host readback to synchronize
@@ -134,7 +149,7 @@ def _measure() -> dict:
     sync(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
 
-    return {
+    rec = {
         "metric": metric,
         "value": round(ms, 2),
         "unit": "ms",
@@ -146,6 +161,15 @@ def _measure() -> dict:
             "step at 1024^2 on a 24GB consumer GPU; not a measured baseline"),
         "on_tpu": on_tpu,
     }
+    if flops > 0:
+        # the defensible, measured numbers: hardware utilisation against the
+        # v5e bf16 peak (197 TF/s) and the HBM roofline (819 GB/s)
+        tf_s = flops / (ms / 1e3)
+        rec["tflops_per_s"] = round(tf_s / 1e12, 1)
+        rec["mfu"] = round(tf_s / V5E_PEAK_BF16, 4)
+        rec["hbm_roofline_ms"] = round(bytes_acc / 819e9 * 1e3, 1)
+        rec["flops_per_step"] = flops
+    return rec
 
 
 def main() -> int:

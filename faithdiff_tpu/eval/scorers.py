@@ -9,9 +9,10 @@ matching. Pure string/statistics functions, no datasets required.
 from __future__ import annotations
 
 import re
-import string
 from collections import Counter
 from typing import Dict, List, Optional, Sequence
+
+from faithdiff_tpu.eval import vqa_protocol
 
 
 def parse_multiple_choice(answer: str, options: Sequence[str] = "ABCDE"
@@ -76,16 +77,11 @@ def pope_metrics(answers: List[str], labels: List[str]) -> Dict[str, float]:
     }
 
 
-_ARTICLES = {"a", "an", "the"}
-_PUNCT = str.maketrans("", "", string.punctuation)
-
-
 def _vqa_normalize(ans: str) -> str:
-    """VQA answer normalisation (m4c_evaluator processPunctuation/
-    processDigitArticle, simplified to the deterministic parts)."""
-    ans = ans.lower().strip().translate(_PUNCT)
-    words = [w for w in ans.split() if w not in _ARTICLES]
-    return " ".join(words)
+    """VQA answer normalisation: the FULL EvalAI protocol pipeline
+    (contractions, number map, articles, punctuation/comma/period rules —
+    `m4c_evaluator.py:9-216`, transcribed in `vqa_protocol.py`)."""
+    return vqa_protocol.process_answer(ans)
 
 
 def vqa_accuracy(answer: str, gt_answers: Sequence[str]) -> float:
@@ -98,8 +94,18 @@ def vqa_accuracy(answer: str, gt_answers: Sequence[str]) -> float:
 
 def textvqa_accuracy(answers: List[str],
                      gt_answer_lists: List[Sequence[str]]) -> float:
+    """TextVQA accuracy. With the protocol's 10 human answers per question
+    this is the reference's exact leave-one-out soft-voting evaluator
+    (`m4c_evaluator.py:222-259`); other counts fall back to the plain
+    min(1, matches/3) vote (the protocol formula is undefined there)."""
     assert len(answers) == len(gt_answer_lists)
-    scores = [vqa_accuracy(a, g) for a, g in zip(answers, gt_answer_lists)]
+    scores = []
+    for a, g in zip(answers, gt_answer_lists):
+        if len(g) == 10:
+            scores.append(vqa_protocol.textvqa_soft_scores(g).get(
+                _vqa_normalize(a), 0.0))
+        else:
+            scores.append(vqa_accuracy(a, g))
     return sum(scores) / max(len(scores), 1)
 
 

@@ -52,9 +52,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _load(path):
     from faithdiff_tpu.utils.convert import load_safetensors, load_torch_bin
 
-    if path.endswith(".safetensors"):
-        return load_safetensors(path)
-    return load_torch_bin(path)
+    if path.endswith(".index.json"):
+        return _load_sharded(path)
+    if os.path.isfile(path):
+        if path.endswith(".safetensors"):
+            return load_safetensors(path)
+        return load_torch_bin(path)
+    # released llava-v1.5-13b ships as sharded bins + an index json
+    # (`pytorch_model.bin.index.json` naming the per-key shard files);
+    # accept the directory or a missing single-file path and fall back
+    # to the index
+    d = path if os.path.isdir(path) else os.path.dirname(path) or "."
+    for idx in ("pytorch_model.bin.index.json",
+                "model.safetensors.index.json"):
+        p = os.path.join(d, idx)
+        if os.path.isfile(p):
+            return _load_sharded(p)
+    raise FileNotFoundError(
+        f"{path}: not a file, and no *.index.json found in {d}")
+
+
+def _load_sharded(index_path):
+    """Load and merge a HF-style sharded checkpoint via its index json."""
+    import json
+
+    from faithdiff_tpu.utils.convert import load_safetensors, load_torch_bin
+
+    with open(index_path) as f:
+        weight_map = json.load(f)["weight_map"]
+    d = os.path.dirname(index_path) or "."
+    merged = {}
+    for shard in sorted(set(weight_map.values())):
+        p = os.path.join(d, shard)
+        sd = (load_safetensors(p) if p.endswith(".safetensors")
+              else load_torch_bin(p))
+        merged.update(sd)
+    missing = set(weight_map) - set(merged)
+    if missing:
+        raise KeyError(f"{index_path}: {len(missing)} keys named in the "
+                       f"index are absent from the shards, e.g. "
+                       f"{sorted(missing)[:3]}")
+    return merged
 
 
 def prepare(faithdiff_bin=None, unet=None, vae=None, text_encoder=None,
@@ -122,8 +160,7 @@ def prepare(faithdiff_bin=None, unet=None, vae=None, text_encoder=None,
         # (the CLIP tower ships separately — openai/clip-vit-large-patch14-336
         # — exactly as the reference builder loads it,
         # `llava/model/builder.py:137-141`)
-        from faithdiff_tpu.utils.convert import (convert_clip_vision,
-                                                 convert_llama,
+        from faithdiff_tpu.utils.convert import (convert_llama,
                                                  convert_vision_projector)
 
         cap_dir = os.path.join(out, "captioner")
@@ -138,11 +175,16 @@ def prepare(faithdiff_bin=None, unet=None, vae=None, text_encoder=None,
         pp = convert_vision_projector(proj_sd)
         save_params(os.path.join(cap_dir, "projector"), pp)
         written["captioner/projector"] = len(jax.tree.leaves(pp))
-        cv = get("clip_vision", clip_vision)
-        if cv is not None:
-            vp = convert_clip_vision(cv)
-            save_params(os.path.join(cap_dir, "vision"), vp)
-            written["captioner/vision"] = len(jax.tree.leaves(vp))
+
+    # the CLIP tower is an independent released file: convert it whenever
+    # given, with or without --llava
+    cv = get("clip_vision", clip_vision)
+    if cv is not None:
+        from faithdiff_tpu.utils.convert import convert_clip_vision
+
+        vp = convert_clip_vision(cv)
+        save_params(os.path.join(out, "captioner", "vision"), vp)
+        written["captioner/vision"] = len(jax.tree.leaves(vp))
     return written
 
 

@@ -28,13 +28,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, os.path.join(os.path.dirname(_HERE), "tests"))
+sys.path.insert(0, _HERE)  # `from prepare_checkpoint import ...` must work
+# even when this module is imported rather than run as a script
 
 
 def make_tokenizer_dir(path: str) -> None:
-    from tokenizers import Tokenizer, models, pre_tokenizers
+    from tokenizers import AddedToken, Tokenizer, models, pre_tokenizers
     from transformers import PreTrainedTokenizerFast
 
     words = {"<unk>": 0, "<s>": 1, "</s>": 2}
@@ -42,8 +44,16 @@ def make_tokenizer_dir(path: str) -> None:
         words[f"w{i}"] = i
     tok = Tokenizer(models.WordLevel(words, unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    # register the specials as AddedTokens so they are matched BEFORE the
+    # Whitespace pre-tokenizer (which would otherwise shred "</s>" into
+    # punctuation pieces mapped to <unk>, making the agent's stop-sequence
+    # a run of unk ids)
+    tok.add_special_tokens([AddedToken(t, special=True)
+                            for t in ("<unk>", "<s>", "</s>")])
     fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
                                    bos_token="<s>", eos_token="</s>")
+    assert fast.encode("</s>", add_special_tokens=False) == [2], \
+        "special tokens must round-trip to their real ids"
     fast.save_pretrained(path)
 
 

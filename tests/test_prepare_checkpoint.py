@@ -174,3 +174,55 @@ def _flat_keys(tree, prefix=""):
     else:
         out.append(prefix[:-1])
     return out
+
+
+def test_prepare_clip_vision_without_llava(tmp_path):
+    """--clip_vision alone converts the tower (the two released files are
+    independent downloads; the reference builder loads the tower separately,
+    `llava/model/builder.py:137-141`)."""
+    from transformers import CLIPVisionConfig as HFVCfg
+    from transformers import CLIPVisionModel
+
+    from prepare_checkpoint import prepare
+
+    hf_clip = CLIPVisionModel(HFVCfg(
+        image_size=56, patch_size=14, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, projection_dim=16)).eval()
+    out = tmp_path / "ckpt"
+    written = prepare(out=str(out), state_dicts={
+        "clip_vision": {k: v.clone() for k, v in
+                        hf_clip.state_dict().items()}})
+    assert set(written) == {"captioner/vision"}
+    assert os.path.isdir(out / "captioner" / "vision")
+
+
+def test_load_sharded_checkpoint(tmp_path):
+    """HF-style sharded layout (N bins + *.index.json — how llava-v1.5-13b
+    actually ships) loads and merges; _load resolves a directory, an
+    index path, or a missing single-file path to the index."""
+    from prepare_checkpoint import _load
+
+    shards = {
+        "pytorch_model-00001-of-00002.bin": {
+            "a.weight": torch.randn(2, 3), "b.weight": torch.randn(4)},
+        "pytorch_model-00002-of-00002.bin": {"c.bias": torch.randn(5)},
+    }
+    weight_map = {k: fname for fname, sd in shards.items() for k in sd}
+    for fname, sd in shards.items():
+        torch.save(sd, tmp_path / fname)
+    with open(tmp_path / "pytorch_model.bin.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+
+    for path in (str(tmp_path / "pytorch_model.bin.index.json"),
+                 str(tmp_path),
+                 str(tmp_path / "pytorch_model.bin")):  # missing single file
+        merged = _load(path)
+        assert set(merged) == {"a.weight", "b.weight", "c.bias"}
+        assert merged["a.weight"].shape == (2, 3)
+
+    # an index naming a key absent from its shards must fail loudly
+    weight_map["ghost"] = "pytorch_model-00001-of-00002.bin"
+    with open(tmp_path / "pytorch_model.bin.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    with pytest.raises(KeyError):
+        _load(str(tmp_path))
