@@ -256,6 +256,60 @@ def run_vqa_loader(
     return n
 
 
+SQA_SINGLE_PRED_SUFFIX = ("Answer with the option's letter from the given "
+                          "choices directly.")
+
+
+def run_science_qa(
+    agent,
+    question_file: str,
+    image_dir: str,
+    answers_file: str,
+    single_pred_prompt: bool = True,
+    num_chunks: int = 1,
+    chunk_idx: int = 0,
+    max_questions: Optional[int] = None,
+) -> int:
+    """ScienceQA answer generator
+    (`/root/reference/llava/eval/model_vqa_science.py:29-95`): questions are
+    a JSON LIST of {"id", "conversations", ["image"]}; the prompt is the
+    first conversation turn with the '<image>' placeholder stripped, plus
+    the single-letter instruction. Text-only questions run without an
+    image (the reference passes images=None)."""
+    from PIL import Image
+
+    questions = json.load(open(os.path.expanduser(question_file)))
+    questions = get_chunk(questions, num_chunks, chunk_idx)
+    if max_questions:
+        questions = questions[:max_questions]
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+
+    n = 0
+    with open(answers_file, "w") as out:
+        for line in questions:
+            qs = line["conversations"][0]["value"].replace(
+                "<image>", "").strip()
+            cur_prompt = qs
+            img = None
+            if "image" in line:
+                img = np.asarray(Image.open(
+                    os.path.join(image_dir, line["image"])).convert("RGB"))
+                cur_prompt = "<image>" + "\n" + cur_prompt
+            if single_pred_prompt:
+                qs = qs + "\n" + SQA_SINGLE_PRED_SUFFIX
+                cur_prompt = cur_prompt + "\n" + SQA_SINGLE_PRED_SUFFIX
+            text = agent.caption(img, question=qs)
+            out.write(json.dumps({
+                "question_id": line["id"],
+                "prompt": cur_prompt,
+                "text": text,
+                "model_id": "faithdiff-tpu-captioner",
+                "metadata": {},
+            }) + "\n")
+            n += 1
+    return n
+
+
 # --- ScienceQA GPT-4 requery combining ------------------------------------
 
 _ANSWER_PATTERN = re.compile(r"The answer is ([A-Z]).")

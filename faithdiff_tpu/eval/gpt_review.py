@@ -2,7 +2,9 @@
 
 Capability-equivalent to the reference's
 `/root/reference/llava/eval/eval_gpt_review.py`,
-`eval_gpt_review_visual.py` (context-conditioned variant), and
+`eval_gpt_review_visual.py` (context-conditioned variant),
+`eval_gpt_review_bench.py` (llava-bench variant: `review-bench`),
+`qa_baseline_gpt35.py` (text-only baseline generation: `qa-baseline`), and
 `summarize_gpt_review.py` — with the OpenAI/ray coupling replaced by a
 pluggable reviewer backend so the offline plumbing (prompt builder, score
 parser, resume-aware runner, summarizer) is testable without network access.
@@ -83,6 +85,13 @@ def format_context(inst: Dict) -> str:
     return f"{cap_str}\n\n{box_str}"
 
 
+def format_bench_context(inst: Dict) -> str:
+    """llava-bench context: the `caption` field, a string or a list of
+    strings (`eval_gpt_review_bench.py:87-91`)."""
+    cap = inst["caption"]
+    return "\n".join(cap) if isinstance(cap, list) else cap
+
+
 def load_backend(spec: str) -> Callable[[str, str, int], str]:
     """Resolve `module:function` into a reviewer callable."""
     mod_name, _, fn_name = spec.partition(":")
@@ -102,30 +111,53 @@ def review_answers(
     contexts: Optional[Dict[str, Dict]] = None,
     max_tokens: int = 1024,
     done_ids: Optional[set] = None,
+    bench_mode: bool = False,
+    skip_first: int = 0,
 ) -> Iterable[Dict]:
     """Yield review records; skips question_ids in `done_ids` (the resume
-    behaviour of `eval_gpt_review_visual.py:66-71`)."""
+    behaviour of `eval_gpt_review_visual.py:66-71`).
+
+    `bench_mode` switches to the llava-bench conventions
+    (`eval_gpt_review_bench.py:84-116`): category prefixed
+    `llava_bench_` with a HARD error when absent from the rules, context
+    from the `caption` field, `answer1_id` falling back to the answer's
+    question_id, and POSITIONAL resume (`skip_first` records already
+    reviewed, the reference's `idx >= len(cur_reviews)` check)."""
     rules = rules or DEFAULT_RULES
     done_ids = done_ids or set()
     idx = 0
     for ques, ans1, ans2 in zip(questions, answers1, answers2):
         idx += 1
-        if ques["question_id"] in done_ids:
+        if bench_mode:
+            if idx <= skip_first:
+                continue
+        elif ques["question_id"] in done_ids:
             continue
         category = ques.get("category", "default")
-        rule = rules.get(category, rules.get("default"))
-        if rule is None:
-            raise KeyError(f"no rule for category {category!r}")
+        if bench_mode:
+            category = "llava_bench_" + category
+            if category not in rules:
+                raise KeyError(
+                    f"Visual QA category not found in rule file: {category}.")
+            rule = rules[category]
+        else:
+            rule = rules.get(category, rules.get("default"))
+            if rule is None:
+                raise KeyError(f"no rule for category {category!r}")
         context = None
         if contexts is not None:
-            context = format_context(contexts[ques["image"]])
+            inst = contexts[ques["image"]]
+            context = (format_bench_context(inst) if bench_mode
+                       else format_context(inst))
         content = build_review_content(
             ques["text"], ans1["text"], ans2["text"], rule, context)
         review = backend(content, REVIEWER_SYSTEM, max_tokens)
         yield {
             "id": idx,
             "question_id": ques["question_id"],
-            "answer1_id": ans1.get("answer_id", ""),
+            "answer1_id": ans1.get(
+                "answer_id", ans1.get("question_id", "") if bench_mode
+                else ""),
             "answer2_id": ans2.get("answer_id", ""),
             "category": category,
             "content": review,
@@ -206,6 +238,92 @@ def cmd_review(argv):
     print(f"reviews written to {args.output}")
 
 
+def cmd_review_bench(argv):
+    """llava-bench-in-the-wild review (`eval_gpt_review_bench.py`):
+    positional resume, `caption`-field context, llava_bench_* rules."""
+    p = argparse.ArgumentParser("gpt_review review-bench")
+    p.add_argument("-q", "--question", required=True)
+    p.add_argument("-c", "--context", required=True)
+    p.add_argument("-a", "--answer-list", nargs=2, required=True)
+    p.add_argument("-r", "--rule", default=None)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--backend", default=None,
+                   help="module:function reviewer backend")
+    p.add_argument("--max-tokens", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    rules = (json.load(open(os.path.expanduser(args.rule)))
+             if args.rule else DEFAULT_RULES)
+    contexts = {c["image"]: c for c in _read_jsonl(args.context)}
+    backend = (load_backend(args.backend) if args.backend
+               else unavailable_backend)
+    skip = len(_read_jsonl(args.output)) if os.path.isfile(args.output) else 0
+    with open(args.output, "a") as out:
+        for rec in review_answers(
+                _read_jsonl(args.question),
+                _read_jsonl(args.answer_list[0]),
+                _read_jsonl(args.answer_list[1]),
+                backend, rules, contexts, args.max_tokens,
+                bench_mode=True, skip_first=skip):
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+    print(f"reviews written to {args.output}")
+
+
+def generate_qa_baseline(
+    questions: Dict,
+    backend: Callable[[str, str, int], str],
+    max_tokens: int = 1024,
+    max_workers: int = 32,
+    model_id: str = "text-baseline",
+) -> List[Dict]:
+    """Text-only baseline answer generation
+    (`/root/reference/llava/eval/qa_baseline_gpt35.py:17-76`): answer every
+    question through the reviewer-style backend concurrently, '#ERROR#' on
+    repeated failure, results sorted by question_id."""
+    import concurrent.futures
+
+    def get_answer(qid, question):
+        ans = {"answer_id": f"baseline-{qid}", "question_id": qid,
+               "model_id": model_id}
+        for _ in range(3):
+            try:
+                ans["text"] = backend(
+                    question, "You are a helpful assistant.", max_tokens)
+                return ans
+            except Exception as e:
+                print("[ERROR]", e)
+                ans["text"] = "#ERROR#"
+        return ans
+
+    with concurrent.futures.ThreadPoolExecutor(
+            max_workers=max_workers) as ex:
+        futures = [ex.submit(get_answer, qid, q)
+                   for qid, q in questions.items()]
+        answers = [f.result()
+                   for f in concurrent.futures.as_completed(futures)]
+    answers.sort(key=lambda x: x["question_id"])
+    return answers
+
+
+def cmd_qa_baseline(argv):
+    p = argparse.ArgumentParser("gpt_review qa-baseline")
+    p.add_argument("-q", "--question", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--backend", default=None)
+    p.add_argument("--max-tokens", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    questions = {q["question_id"]: q["text"]
+                 for q in _read_jsonl(args.question)}
+    backend = (load_backend(args.backend) if args.backend
+               else unavailable_backend)
+    answers = generate_qa_baseline(questions, backend, args.max_tokens)
+    with open(os.path.expanduser(args.output), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in answers))
+    print(f"answers written to {args.output}")
+
+
 def cmd_summarize(argv):
     p = argparse.ArgumentParser("gpt_review summarize")
     p.add_argument("-f", "--files", nargs="+", required=True)
@@ -222,10 +340,11 @@ def cmd_summarize(argv):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    cmds = {"review": cmd_review, "summarize": cmd_summarize}
+    cmds = {"review": cmd_review, "review-bench": cmd_review_bench,
+            "qa-baseline": cmd_qa_baseline, "summarize": cmd_summarize}
     if not argv or argv[0] not in cmds:
         print("usage: python -m faithdiff_tpu.eval.gpt_review "
-              "{review|summarize} ...")
+              "{review|review-bench|qa-baseline|summarize} ...")
         return 1
     return cmds[argv[0]](argv[1:])
 

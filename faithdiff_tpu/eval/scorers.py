@@ -41,20 +41,27 @@ def science_qa_accuracy(answers: List[str], truths: List[str]) -> float:
     return correct / max(len(answers), 1)
 
 
+def pope_normalize_answer(text: str) -> str:
+    """The reference's exact answer binarisation (`eval_pope.py:9-21`):
+    keep the first sentence, drop commas, and answer 'no' iff one of the
+    WORDS 'No'/'not'/'no' appears — anything else is 'yes' (so an
+    undecidable answer counts as yes)."""
+    if text.find(".") != -1:
+        text = text.split(".")[0]
+    words = text.replace(",", "").split(" ")
+    return "no" if ("No" in words or "not" in words or "no" in words) \
+        else "yes"
+
+
 def pope_metrics(answers: List[str], labels: List[str]) -> Dict[str, float]:
     """POPE object-hallucination metrics: binary yes/no with
-    precision/recall/F1/accuracy and the yes-ratio (`eval_pope.py`)."""
-    def to_bool(s):
-        s = s.lower()
-        return "yes" in s[:8] if ("yes" in s or "no" in s) else None
-
+    precision/recall/F1/accuracy and the yes-ratio (`eval_pope.py:23-62`),
+    using the reference's exact answer binarisation."""
     tp = fp = tn = fn = 0
     yes = 0
     for a, l in zip(answers, labels):
-        pred = to_bool(a)
+        pred = pope_normalize_answer(a) == "yes"
         truth = l.strip().lower() == "yes"
-        if pred is None:
-            pred = True  # undecidable counts as yes (reference behavior)
         yes += pred
         if pred and truth:
             tp += 1
