@@ -98,6 +98,9 @@ class DenoiseEncoderConfig:
     norm_num_groups: int = 32
     act_fn: str = "silu"
     mid_block_add_attention: bool = True
+    # gradient checkpointing for training (the reference Encoder's
+    # grad-ckpt path, `unet_2d_condition_vae_extension.py:125-143`)
+    remat: bool = False
     tile_sample_min_size: int = 1024
     tile_overlap_factor: float = 0.25
 

@@ -6,8 +6,9 @@ file (JSONL with {question_id, image, text}), run the caption agent with
 each question as the prompt, write answers JSONL with chunked sharding
 (`--num-chunks/--chunk-idx` in the reference).
 
-GPT-review scoring (`eval_gpt_review.py`) requires an external LLM API and
-is represented by `summarize_answers` statistics instead.
+GPT-review scoring lives in `gpt_review.py` (pluggable backend); the
+per-benchmark drivers in `drivers.py`; benchmark-specific generators in
+`generators.py`.
 """
 from __future__ import annotations
 

@@ -38,21 +38,31 @@ class Encoder(nn.Module):
     double_z: bool = True
     with_head: bool = True
     mid_block_add_attention: bool = True
+    # rematerialise each down/mid block in the backward pass — the
+    # reference Encoder's gradient-checkpointing path
+    # (`unet_2d_condition_vae_extension.py:125-143`). Stage-2 trains the
+    # denoise_encoder, whose full-resolution activations dominate HBM
+    # (measured: the v5e AOT memory analysis OOMs 109 GiB at batch 16/dev
+    # res 512 without this)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        _Down = (nn.remat(DownEncoderBlock2D) if self.remat
+                 else DownEncoderBlock2D)
+        _Mid = nn.remat(UNetMidBlock2D) if self.remat else UNetMidBlock2D
         x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv_in")(x.astype(self.dtype))
         for i, out_ch in enumerate(self.block_out_channels):
             is_final = i == len(self.block_out_channels) - 1
-            x = DownEncoderBlock2D(
+            x = _Down(
                 out_ch, num_layers=self.layers_per_block,
                 add_downsample=not is_final, groups=self.norm_num_groups,
                 dtype=self.dtype, name=f"down_blocks_{i}",
             )(x)
-        x = UNetMidBlock2D(
+        x = _Mid(
             self.block_out_channels[-1],
             add_attention=self.mid_block_add_attention,
             groups=self.norm_num_groups, dtype=self.dtype, name="mid_block",
@@ -297,5 +307,6 @@ class DenoiseEncoder(nn.Module):
             norm_num_groups=cfg.norm_num_groups,
             act_fn=cfg.act_fn, with_head=False,
             mid_block_add_attention=cfg.mid_block_add_attention,
+            remat=cfg.remat,
             dtype=self.dtype, name="encoder",
         )(x)

@@ -84,6 +84,13 @@ def main():
                     "still runs at default effort, but buffer "
                     "assignment can differ from a full-effort compile — "
                     "the value is recorded in the output record.")
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient-checkpoint the UNet blocks AND the "
+                    "denoise_encoder (the reference's grad-ckpt paths, "
+                    "`unet_2d_condition_vae_extension.py:125-143`). "
+                    "Measured round 5: WITHOUT this, variant A at the "
+                    "reference recipe needs 109.4 GiB/chip (denoise_encoder "
+                    "activations) and the compiler aborts.")
     args = ap.parse_args()
 
     from jax.experimental import topologies
@@ -94,7 +101,9 @@ def main():
     mesh = Mesh(devices.reshape(-1), ("data",))
     n = devices.size
 
-    ucfg, dcfg, vcfg = UNetConfig(), DenoiseEncoderConfig(), VAEConfig()
+    ucfg = UNetConfig(remat=args.remat)
+    dcfg = DenoiseEncoderConfig(remat=args.remat)
+    vcfg = VAEConfig()
     dtype = jnp.bfloat16       # compute dtype (runner default)
     unet = UNet2DConditionModel(config=ucfg, dtype=dtype)
     de = DenoiseEncoder(config=dcfg, dtype=dtype)
@@ -178,13 +187,34 @@ def main():
           file=sys.stderr)
     copts = ({} if args.effort is None
              else {"exec_time_optimization_effort": args.effort})
+    import re
     import time as _time
     _t0 = _time.perf_counter()
-    compiled = lowered.compile(compiler_options=copts or None)
+    try:
+        compiled = lowered.compile(compiler_options=copts or None)
+    except Exception as e:  # RESOURCE_EXHAUSTED is itself the measurement
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" not in msg:
+            raise
+        m = re.search(r"Used ([\d.]+)G of ([\d.]+)G hbm", msg)
+        print(json.dumps({
+            "variant": v,
+            "remat": args.remat,
+            "exec_time_optimization_effort": args.effort,
+            "compile_s": round(_time.perf_counter() - _t0, 1),
+            "per_device_batch": args.batch,
+            "resolution": res,
+            "fits": False,
+            "used_gib": float(m.group(1)) if m else None,
+            "hbm_per_chip_gib": float(m.group(2)) if m else 16.0,
+            "error": msg.splitlines()[0][:300],
+        }))
+        return
     compile_s = _time.perf_counter() - _t0
     ma = compiled.memory_analysis()
     out = {
         "variant": v,
+        "remat": args.remat,
         "exec_time_optimization_effort": args.effort,
         "compile_s": round(compile_s, 1),
         "per_device_batch": args.batch,
@@ -203,6 +233,7 @@ def main():
             (max(ma.argument_size_in_bytes, ma.output_size_in_bytes)
              + ma.temp_size_in_bytes) / 1024**3, 2),
         "hbm_per_chip_gib": 16.0,
+        "fits": True,
     }
     print(json.dumps(out))
 
