@@ -178,7 +178,7 @@ def cmd_restore(argv):
         h, w = img.shape[:2]
         img = resize_lanczos(img, (w * args.upscale, h * args.upscale))
         padded, w0, h0, w1, h1 = check_image_size(img)
-        lr = padded.astype(np.float32) / 255.0
+        lr = padded  # uint8 straight through: 4x smaller host->device upload
 
         cross_dim = 64 if args.tiny else 2048
         pooled_dim = 64 if args.tiny else 1280

@@ -182,14 +182,22 @@ class DownEncoderBlock2D(nn.Module):
     add_downsample: bool = True
     groups: int = 32
     eps: float = 1e-6
+    # PER-RESNET gradient checkpointing. Block-level remat is too coarse
+    # for the stage-2 memory fit: the whole block's backward recompute
+    # keeps every internal temp of both resnets live at once (measured
+    # v5e AOT: six ~0.5 GiB fp32 GroupNorm-backward temps of
+    # down_blocks_0 at 512^2 res dominate the 19.55 GiB peak at
+    # batch 4/dev). Per-resnet remat halves that working set.
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        _Res = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, use_time_emb=False,
-                              groups=self.groups, eps=self.eps,
-                              dtype=self.dtype, name=f"resnets_{i}")(x, None)
+            x = _Res(self.out_channels, use_time_emb=False,
+                     groups=self.groups, eps=self.eps,
+                     dtype=self.dtype, name=f"resnets_{i}")(x, None)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, pad_mode="vae",
                              dtype=self.dtype, name="downsamplers_0")(x)

@@ -49,17 +49,18 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        _Down = (nn.remat(DownEncoderBlock2D) if self.remat
-                 else DownEncoderBlock2D)
+        # down blocks checkpoint PER RESNET (see DownEncoderBlock2D.remat);
+        # the mid block (1/8 res, small temps) remats as a whole
         _Mid = nn.remat(UNetMidBlock2D) if self.remat else UNetMidBlock2D
         x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv_in")(x.astype(self.dtype))
         for i, out_ch in enumerate(self.block_out_channels):
             is_final = i == len(self.block_out_channels) - 1
-            x = _Down(
+            x = DownEncoderBlock2D(
                 out_ch, num_layers=self.layers_per_block,
                 add_downsample=not is_final, groups=self.norm_num_groups,
+                remat=self.remat,
                 dtype=self.dtype, name=f"down_blocks_{i}",
             )(x)
         x = _Mid(

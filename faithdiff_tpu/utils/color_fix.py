@@ -110,19 +110,31 @@ def adain_color_fix(target: jax.Array, source: jax.Array) -> jax.Array:
 _HALO = 32
 
 
+def _as_01(x: jax.Array) -> jax.Array:
+    """uint8 sources scale to [0, 1] on device (uint8 is how they arrive
+    when the caller uploads the raw image — 4x less tunnel traffic than
+    fp32)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 @functools.lru_cache(maxsize=64)
-def _tile_fn_jit(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
-                 denorm: bool = False):
-    """Cached jit of the per-tile fix program. A fresh `jax.jit(_tile_fn(
-    ...))` closure per `streaming_color_fix` call RECOMPILED the wavelet
-    pyramid on every image — measured ~10 s of the 13.7 s non-phase tail
-    at 4K (scripts/profile_e2e_phases.py)."""
-    return jax.jit(_tile_fn(mode, to_uint8, crop_h, crop_w, denorm))
+def _window_fn_jit(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
+                   win_h: int, win_w: int, denorm: bool = False):
+    """Cached jit of the per-tile fix program (a fresh closure per call
+    would recompile the wavelet pyramid on every image — measured ~10 s of
+    the 13.7 s non-phase tail at 4K). The window SLICING now happens inside
+    the program too: one dispatch per tile over the device-resident
+    canvases, no host-side window uploads (round 4 re-uploaded ~850 MB of
+    fp32 source windows per 8K image)."""
 
-
-def _tile_fn(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
-             denorm: bool = False):
-    def tile_fix(tgt_win, src_win, oy, ox, stats=None):
+    def window_fix(tgt_full, src_full, wy, wx, oy, ox, stats=None):
+        c = tgt_full.shape[-1]
+        tgt_win = jax.lax.dynamic_slice(
+            tgt_full, (wy, wx, 0), (win_h, win_w, c))
+        src_win = _as_01(jax.lax.dynamic_slice(
+            src_full, (wy, wx, 0), (win_h, win_w, c)))
         if denorm:
             # [-1, 1] decode output -> [0, 1] (the `_finish` semantics)
             tgt_win = jnp.clip(tgt_win / 2.0 + 0.5, 0.0, 1.0)
@@ -143,60 +155,72 @@ def _tile_fn(mode: str, to_uint8: bool, crop_h: int, crop_w: int,
                              ).astype(jnp.uint8)
         return out.astype(jnp.float32)
 
-    return tile_fix
+    # window/crop geometry is static via the closure; the OFFSETS stay
+    # dynamic (one compile serves every tile position)
+    return jax.jit(window_fix)
 
 
-def _moments(x: jax.Array):
-    """Per-channel sum / sum-of-squares over one [h, w, C] tile."""
-    xf = x.astype(jnp.float32)
-    return jnp.sum(xf, axis=(0, 1)), jnp.sum(jnp.square(xf), axis=(0, 1))
+@functools.lru_cache(maxsize=8)
+def _moments_full_jit(denorm: bool):
+    """Exact global per-channel sum / sum-of-squares over a full [H, W, C]
+    canvas in ONE dispatch (the reduction fuses with the dtype converts —
+    nothing full-resolution materialises in fp32)."""
 
+    def moments(x):
+        xf = _as_01(x).astype(jnp.float32)
+        if denorm:
+            xf = jnp.clip(xf / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.sum(xf, axis=(0, 1)), jnp.sum(jnp.square(xf), axis=(0, 1))
 
-_moments_jit = jax.jit(_moments)
+    return jax.jit(moments)
 
 
 def streaming_color_fix(
     target: jax.Array,            # [1, H, W, C] on device (decode dtype)
-    source: np.ndarray,           # [H, W, C] float in [0, 1] on host
+    source,                       # [H, W, C] float [0,1] or uint8; host
+                                  # np.ndarray or device jax.Array
     mode: str = "wavelet",
     tile: int = 2048,
     to_uint8: bool = False,
     denorm: bool = False,
+    max_inflight: int = 4,
 ) -> np.ndarray:
     """Tile-streamed color fix, assembled into a HOST canvas.
 
-    Device working set stays at one (tile+2*halo)-sized window; the full-
-    resolution canvas only ever exists in host memory. Returns [H, W, C]
-    uint8 (to_uint8) or float32. Wavelet mode equals `wavelet_color_fix`
-    exactly on every pixel; AdaIN uses exact streamed global moments.
-    `mode="nofix"` just crops/quantizes tile by tile."""
+    Device working set stays at one (tile+2*halo)-sized window per
+    in-flight tile; the full-resolution result only ever exists in host
+    memory. Returns [H, W, C] uint8 (to_uint8) or float32. Wavelet mode
+    equals `wavelet_color_fix` exactly on every pixel; AdaIN uses exact
+    global moments. `mode="nofix"` just crops/quantizes tile by tile.
+
+    Round-5 tail attack (the 8K "other" phase): the source stays on
+    device (pass the already-uploaded image; uint8 uploads are 4x
+    smaller), windows are sliced INSIDE the one jitted program per tile,
+    and up to `max_inflight` tile programs are enqueued before the first
+    blocking readback — JAX's async dispatch overlaps device compute and
+    device->host transfer with the host-side canvas assembly instead of
+    paying a full tunnel round-trip per tile."""
     _, h, w, c = target.shape
     target = target[0]
+    src_dev = source if isinstance(source, jax.Array) else jnp.asarray(source)
     tile = min(tile, h, w)
     win_h = min(tile + 2 * _HALO, h)
     win_w = min(tile + 2 * _HALO, w)
-    fn = _tile_fn_jit("wavelet" if mode == "wavelet" else "adain",
-                      to_uint8, tile, tile, denorm)
+    fn = _window_fn_jit("wavelet" if mode == "wavelet" else "adain",
+                        to_uint8, tile, tile, win_h, win_w, denorm)
 
     stats = None
     if mode != "wavelet":
-        # pass 1: exact global moments, streamed tile by tile (identity
-        # stats for "nofix" so the same tile program quantizes/crops)
         if mode == "adain":
-            mom = _moments_jit
-            acc = np.zeros((2, 2, c), np.float64)  # [tgt/src, sum/sq, C]
-            for y0 in range(0, h, tile):
-                for x0 in range(0, w, tile):
-                    tgt_t = target[y0:min(y0 + tile, h),
-                                   x0:min(x0 + tile, w)]
-                    if denorm:
-                        tgt_t = jnp.clip(tgt_t / 2.0 + 0.5, 0.0, 1.0)
-                    src_t = jnp.asarray(
-                        source[y0:min(y0 + tile, h), x0:min(x0 + tile, w)])
-                    for k, t in ((0, tgt_t), (1, src_t)):
-                        s, ss = mom(t)
-                        acc[k, 0] += np.asarray(s, np.float64)
-                        acc[k, 1] += np.asarray(ss, np.float64)
+            # exact global moments, one dispatch per canvas
+            ts, tss = _moments_full_jit(denorm)(target)
+            ss, sss = _moments_full_jit(False)(src_dev)
+            acc = np.stack([
+                np.stack([np.asarray(ts, np.float64),
+                          np.asarray(tss, np.float64)]),
+                np.stack([np.asarray(ss, np.float64),
+                          np.asarray(sss, np.float64)]),
+            ])
             n = h * w
             means = acc[:, 0] / n
             stds = np.sqrt(
@@ -209,20 +233,27 @@ def streaming_color_fix(
             stats = (zero, one, zero, one)
 
     out = np.empty((h, w, c), np.uint8 if to_uint8 else np.float32)
+    pending = []
+
+    def drain(keep: int) -> None:
+        while len(pending) > keep:
+            y0, x0, th, tw, dy, dx, res = pending.pop(0)
+            res = np.asarray(res)              # the only blocking point
+            out[y0:y0 + th, x0:x0 + tw] = res[dy:dy + th, dx:dx + tw]
+
     for y0 in range(0, h, tile):
         for x0 in range(0, w, tile):
             th = min(tile, h - y0)
             tw = min(tile, w - x0)
             wy = min(max(y0 - _HALO, 0), h - win_h)
             wx = min(max(x0 - _HALO, 0), w - win_w)
-            tgt_win = jax.lax.dynamic_slice(
-                target, (wy, wx, 0), (win_h, win_w, c))
-            src_win = jnp.asarray(source[wy:wy + win_h, wx:wx + win_w])
             # clamp the crop start so a full tile-sized slice fits the
             # window; trim the residual offset on the host
             oy = min(y0 - wy, win_h - tile)
             ox = min(x0 - wx, win_w - tile)
             dy, dx = (y0 - wy) - oy, (x0 - wx) - ox
-            res = np.asarray(fn(tgt_win, src_win, oy, ox, stats=stats))
-            out[y0:y0 + th, x0:x0 + tw] = res[dy:dy + th, dx:dx + tw]
+            res = fn(target, src_dev, wy, wx, oy, ox, stats=stats)
+            pending.append((y0, x0, th, tw, dy, dx, res))
+            drain(max_inflight - 1)
+    drain(0)
     return out

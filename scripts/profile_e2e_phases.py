@@ -77,11 +77,26 @@ def main():
     pipe._jit_denoise = timed("denoise", pipe._jit_denoise)
     pipe._jit_denorm = timed("denorm", pipe._jit_denorm)
     pipe._jit_postprocess = timed("postprocess", pipe._jit_postprocess)
+    # decompose the round-4 "other" tail: input upload+normalize and the
+    # streaming color fix (host-assembled readback) were untimed
+    pipe._jit_prep = timed("input_upload_prep", pipe._jit_prep)
+    import faithdiff_tpu.utils.color_fix as _cfx
+
+    _orig_scf = _cfx.streaming_color_fix
+
+    def _timed_scf(*a, **k):
+        t0 = time.perf_counter()
+        out = _orig_scf(*a, **k)
+        phases["color_fix_stream"] = (phases.get("color_fix_stream", 0.0)
+                                      + time.perf_counter() - t0)
+        return out
+
+    _cfx.streaming_color_fix = _timed_scf
 
     pe = jnp.zeros((1, 77, 2048), jnp.float32)
     pooled = jnp.zeros((1, 1280), jnp.float32)
     rng = np.random.default_rng(0)
-    img = rng.random((size, size, 3)).astype(np.float32)
+    img = rng.integers(0, 256, (size, size, 3)).astype(np.uint8)
 
     # compile pass
     t0 = time.perf_counter()
