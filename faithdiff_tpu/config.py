@@ -187,7 +187,12 @@ class TrainConfig:
 
     resolution: int = 512
     batch_size_per_device: int = 16
-    grad_accum: int = 4
+    # micro-batch gradient accumulation (the reference's accelerate
+    # `gradient_accumulation_steps: 4`, `accelerate_config.yaml:9`).
+    # 1 = every step is an optimizer step. The stage-2 runner defaults to
+    # batch 4/dev x accum 8 on v5e-8 — the measured memory-fit plan that
+    # preserves the reference's effective batch 256 (16 x 4 proc x 4).
+    grad_accum: int = 1
     learning_rate: float = 5e-5
     vis_learning_rate: float = 5e-6  # stage-2 denoise_encoder LR
     lr_scheduler: str = "cosine"

@@ -37,7 +37,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--embeds_dir", default=None,
                    help="precomputed prompt embeds (.npz per sample)")
     p.add_argument("--resolution", type=int, default=512)
-    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--train_batch_size", type=int, default=None,
+                   help="per-device batch (default: 16 for stage 1 — the "
+                        "reference recipe; 4 for stage 2 — the measured "
+                        "v5e memory-fit plan)")
+    p.add_argument("--grad_accum", type=int, default=None,
+                   help="micro-batch accumulation (default: 4 for stage 1 "
+                        "as the reference recipe; 8 for stage 2 so "
+                        "batch x devices x accum preserves the reference's "
+                        "effective 256)")
+    p.add_argument("--remat", type=int, choices=[0, 1], default=None,
+                   help="gradient checkpointing for UNet + denoise_encoder "
+                        "(default: on for stage 2 — the v5e AOT analysis "
+                        "measured stage 2 unfittable without it; off for "
+                        "stage 1)")
     p.add_argument("--max_train_steps", type=int, default=6000)
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--vis_learning_rate", type=float, default=5e-6)
@@ -163,16 +176,37 @@ def _dataset_batches(args, cross_dim, pooled_dim,
         yield batch
 
 
+def resolve_stage_defaults(args) -> None:
+    """Stage-dependent recipe defaults (in place). Stage 1 mirrors the
+    reference launch (`train_stage_1.sh`: batch 16/dev, accum 4). Stage 2
+    applies the MEASURED v5e-8 memory-fit plan (PERFORMANCE.md stage-2
+    table): remat on, batch 4/dev x accum 8 — same effective batch 256 as
+    the reference's 16 x 4 proc x 4 accum."""
+    if args.train_batch_size is None:
+        args.train_batch_size = 4 if args.stage == 2 else 16
+    if args.grad_accum is None:
+        args.grad_accum = 8 if args.stage == 2 else 4
+    if args.remat is None:
+        args.remat = 1 if args.stage == 2 else 0
+
+
 def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
          vae_config: Optional[VAEConfig] = None,
          denoise_encoder_config: Optional[DenoiseEncoderConfig] = None):
+    import dataclasses
+
     args = parse_args(argv)
+    resolve_stage_defaults(args)
     ucfg = unet_config or UNetConfig()
     vcfg = vae_config or VAEConfig()
     dcfg = denoise_encoder_config or DenoiseEncoderConfig()
+    if args.remat:
+        ucfg = dataclasses.replace(ucfg, remat=True)
+        dcfg = dataclasses.replace(dcfg, remat=True)
     cfg = TrainConfig(
         resolution=args.resolution,
         batch_size_per_device=args.train_batch_size,
+        grad_accum=args.grad_accum,
         learning_rate=args.learning_rate,
         vis_learning_rate=args.vis_learning_rate,
         lr_scheduler=args.lr_scheduler,
@@ -226,18 +260,33 @@ def main(argv=None, *, unet_config: Optional[UNetConfig] = None,
     def unet_apply(p, *a):
         return unet.apply(p, *a[:6], add_sample=a[6], fusion_group_size=a[7])
 
+    # donate the state: params/EMA/Adam trees update in place instead of
+    # double-buffering across the step (~5 GiB saved at stage-2 scale)
     step_fn = jax.jit(make_train_step(
         unet_apply, lambda p, x: de.apply(p, x), vae_encode, vae_params,
-        tx, cfg, SchedulerConfig()))
+        tx, cfg, SchedulerConfig()), donate_argnums=(0,))
 
-    # mesh: batch over data axis, ZeRO-sharded optimizer state
+    # mesh: batch over data axis, ZeRO-sharded optimizer state. Stage 2
+    # uses the measured memory-fit plan (variant C of the v5e-8 AOT
+    # analysis, PERFORMANCE.md): params and EMA ZeRO-sharded too — the
+    # replicated fp32 trees alone (10.4 GB params + 10.4 GB EMA) overflow
+    # a 16 GiB chip when everything is trainable. Stage 1 keeps params
+    # replicated (plan A): its trainable set is the small adapter stack.
     mesh = make_mesh()
     bsh = batch_sharding(mesh)
     rep = replicated(mesh)
-    opt_sh = shard_leading_divisible(state.opt_state, mesh)
     state = state._replace(
-        params=jax.tree.map(lambda x: jax.device_put(x, rep), state.params),
-        opt_state=jax.tree.map(jax.device_put, state.opt_state, opt_sh),
+        params=(jax.tree.map(jax.device_put, state.params,
+                             shard_leading_divisible(state.params, mesh))
+                if args.stage == 2 else
+                jax.tree.map(lambda x: jax.device_put(x, rep),
+                             state.params)),
+        opt_state=jax.tree.map(
+            jax.device_put, state.opt_state,
+            shard_leading_divisible(state.opt_state, mesh)),
+        ema=(jax.tree.map(jax.device_put, state.ema,
+                          shard_leading_divisible(state.ema, mesh))
+             if args.stage == 2 else state.ema),
     )
 
     ckpt = CheckpointManager(

@@ -120,13 +120,21 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
 
     labels = param_labels(params, cfg.stage)
     train_labels, _ = partition_params(labels, labels)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.multi_transform(
             {"train": adamw(lr), "vis": adamw(vis_lr)},
             train_labels,
         ),
     )
+    if cfg.grad_accum > 1:
+        # micro-batch gradient accumulation (`accelerate_config.yaml:9`):
+        # grads average across `grad_accum` step calls, the inner optimizer
+        # applies every grad_accum-th call. The accumulator lives in
+        # opt_state, so the runner's ZeRO sharding covers it (1.3 GB/chip
+        # instead of a 10.4 GB replicated fp32 grad tree on v5e-8).
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def init_train_state(cfg: TrainConfig, unet_params, denoise_encoder_params
@@ -208,9 +216,14 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, train)
         train = optax.apply_updates(train, updates)
         params = combine_params(train, frozen)
+        # EMA gates on OPTIMIZER steps (the reference's global_step,
+        # `train_SDXL_stage_1.py:928-929`): with accumulation, `step`
+        # counts micro-steps, so the interval scales by grad_accum — the
+        # EMA sees the shadow params right after each interval-th update
         ema = ema_update(
             state.ema, train, state.step + 1,
-            interval=cfg.ema_update_interval, decay=cfg.ema_decay,
+            interval=cfg.ema_update_interval * cfg.grad_accum,
+            decay=cfg.ema_decay,
         )
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, ema=ema)

@@ -182,7 +182,11 @@ def main():
 
     print(f"[stage2-mem] lowering variant {v}: batch {args.batch}/dev x {n} "
           f"dev, res {res}", file=sys.stderr)
-    lowered = jax.jit(step).lower(state_abs, batch_abs, key_abs, vae_abs)
+    # donate the state, as the training runner does: without aliasing, the
+    # fp32 params/EMA/Adam trees are double-buffered across the step
+    # (input + output live simultaneously — ~5 GiB at variant C)
+    lowered = jax.jit(step, donate_argnums=(0,)).lower(
+        state_abs, batch_abs, key_abs, vae_abs)
     print("[stage2-mem] compiling (real TPU compiler, v5e:2x4)...",
           file=sys.stderr)
     copts = ({} if args.effort is None
@@ -196,6 +200,8 @@ def main():
         msg = str(e)
         if "RESOURCE_EXHAUSTED" not in msg:
             raise
+        # keep the compiler's largest-buffer table for diagnosis
+        print(msg[:8000], file=sys.stderr)
         m = re.search(r"Used ([\d.]+)G of ([\d.]+)G hbm", msg)
         print(json.dumps({
             "variant": v,

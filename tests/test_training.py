@@ -21,7 +21,7 @@ from faithdiff_tpu.training.train import (init_train_state, make_train_step,
                                           param_labels)
 
 
-def _setup(stage=1):
+def _setup(stage=1, **cfg_kw):
     ucfg = tiny_unet_config()
     dcfg = tiny_denoise_encoder_config()
     vcfg = tiny_vae_config()
@@ -38,9 +38,10 @@ def _setup(stage=1):
     de_params = de.init(rng, jnp.zeros((1, s, s, 3)))
     vae_params = vae.init(rng, jnp.zeros((1, s, s, 3)))
 
-    cfg = TrainConfig(stage=stage, max_train_steps=50, lr_warmup_steps=0,
-                      learning_rate=1e-3, vis_learning_rate=1e-4,
-                      noise_offset=0.02, ema_update_interval=1)
+    cfg = TrainConfig(**{**dict(
+        stage=stage, max_train_steps=50, lr_warmup_steps=0,
+        learning_rate=1e-3, vis_learning_rate=1e-4,
+        noise_offset=0.02, ema_update_interval=1), **cfg_kw})
     state, tx = init_train_state(cfg, unet_params, de_params)
 
     def vae_encode(p, img, key):
@@ -223,3 +224,52 @@ def test_run_validation_strip_and_musiq_filename(tmp_path, monkeypatch):
                         lambda *a, **k: (lambda img: 42.5))
     _run_validation(args, ucfg, vcfg, dcfg, state, vae_params, step=8)
     assert (tmp_path / "validation" / "step_8_musiq42.500.png").exists()
+
+
+def _trees_equal(a, b):
+    return all(bool(jnp.all(x == y))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_grad_accumulation_semantics():
+    """cfg.grad_accum=k (the reference's accelerate
+    `gradient_accumulation_steps`, `accelerate_config.yaml:9`): grads
+    accumulate across k micro-steps, the optimizer applies on the k-th,
+    and the interval-gated EMA sees optimizer steps, not micro-steps."""
+    state, step, batch = _setup(stage=2, grad_accum=2)
+    jstep = jax.jit(step)
+
+    s1, m1 = jstep(state, batch(seed=0), jax.random.PRNGKey(1))
+    # micro-step 1: NO optimizer update, NO EMA movement
+    assert _trees_equal(s1.params, state.params)
+    assert _trees_equal(s1.ema.params, state.ema.params)
+    assert np.isfinite(float(m1["loss"]))
+
+    s2, m2 = jstep(s1, batch(seed=1), jax.random.PRNGKey(2))
+    # micro-step 2 = optimizer step: params move, EMA (interval 1) moves
+    assert not _trees_equal(s2.params, s1.params)
+    assert not _trees_equal(s2.ema.params, s1.ema.params)
+
+
+def test_resolve_stage_defaults():
+    """Stage-2 defaults are the MEASURED v5e memory-fit plan (remat on,
+    batch 4/dev x accum 8 = the reference's effective 256); stage 1 is the
+    reference launch recipe verbatim; explicit flags win."""
+    import argparse
+
+    from faithdiff_tpu.training.runner import resolve_stage_defaults
+
+    a = argparse.Namespace(stage=1, train_batch_size=None, grad_accum=None,
+                           remat=None)
+    resolve_stage_defaults(a)
+    assert (a.train_batch_size, a.grad_accum, a.remat) == (16, 4, 0)
+
+    a = argparse.Namespace(stage=2, train_batch_size=None, grad_accum=None,
+                           remat=None)
+    resolve_stage_defaults(a)
+    assert (a.train_batch_size, a.grad_accum, a.remat) == (4, 8, 1)
+
+    a = argparse.Namespace(stage=2, train_batch_size=2, grad_accum=1,
+                           remat=0)
+    resolve_stage_defaults(a)
+    assert (a.train_batch_size, a.grad_accum, a.remat) == (2, 1, 0)
