@@ -89,14 +89,19 @@ class UNet2DConditionModel(nn.Module):
                     cfg.block_out_channels[0], dtype=self.dtype,
                     name="condition_embedding",
                 )(cond)
-            feat_alpha = InformationTransformer(
+            # under remat, checkpoint the fusion transformer too — its
+            # backward attention temps showed in the stage-2 v5e AOT
+            # top-buffer list (160 MB-class dot_general transposes)
+            _Info = (nn.remat(InformationTransformer, static_argnums=(3,))
+                     if cfg.remat else InformationTransformer)
+            feat_alpha = _Info(
                 num_layers=cfg.info_transformer_layers,
                 d_model=cfg.info_transformer_dim,
                 n_head=cfg.info_transformer_heads,
                 out_channels=cfg.block_out_channels[0],
                 dtype=self.dtype,
                 name="information_transformer",
-            )(sample, cond, group_size=fusion_group_size)
+            )(sample, cond, fusion_group_size)
             sample = sample + feat_alpha if add_sample else feat_alpha
 
         # block classes, optionally rematerialised (trade FLOPs for HBM in
