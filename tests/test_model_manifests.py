@@ -203,8 +203,13 @@ def test_llava_13b_full_scale():
     cfg = LlamaConfig()  # 13B defaults
     model = LlamaForCausalLM(cfg)
     ids = jnp.zeros((1, 4), jnp.int32)
-    e_embed = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids,
-                             method=LlamaForCausalLM.embed)
+    # `method=` must bind OUTSIDE eval_shape (it abstracts kwargs as
+    # array arguments)
+    import functools
+
+    e_embed = jax.eval_shape(
+        functools.partial(model.init, method=LlamaForCausalLM.embed),
+        jax.random.PRNGKey(0), ids)
     embeds = jnp.zeros((1, 4, cfg.hidden_size))
     positions = jnp.broadcast_to(jnp.arange(4)[None], (1, 4))
     e_main = jax.eval_shape(model.init, jax.random.PRNGKey(0), embeds,
