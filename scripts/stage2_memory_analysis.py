@@ -91,6 +91,14 @@ def main():
                     "Measured round 5: WITHOUT this, variant A at the "
                     "reference recipe needs 109.4 GiB/chip (denoise_encoder "
                     "activations) and the compiler aborts.")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="lower WITHOUT donating the train state. At minimum "
+                    "scheduling effort, donation's aliasing constraints are "
+                    "not re-scheduled around and the reported peak RISES "
+                    "(measured round 5: 16.68 -> 20.83 GiB at batch 4); the "
+                    "alias-free lowering instead reports temps + args + "
+                    "outputs separately, from which the production donated "
+                    "peak is bounded by max(args, outputs) + temps.")
     args = ap.parse_args()
 
     from jax.experimental import topologies
@@ -184,8 +192,10 @@ def main():
           f"dev, res {res}", file=sys.stderr)
     # donate the state, as the training runner does: without aliasing, the
     # fp32 params/EMA/Adam trees are double-buffered across the step
-    # (input + output live simultaneously — ~5 GiB at variant C)
-    lowered = jax.jit(step, donate_argnums=(0,)).lower(
+    # (input + output live simultaneously — ~5 GiB at variant C). The
+    # --no-donate lowering is the alias-free diagnostic (see its help).
+    donate = () if args.no_donate else (0,)
+    lowered = jax.jit(step, donate_argnums=donate).lower(
         state_abs, batch_abs, key_abs, vae_abs)
     print("[stage2-mem] compiling (real TPU compiler, v5e:2x4)...",
           file=sys.stderr)
@@ -206,6 +216,7 @@ def main():
         print(json.dumps({
             "variant": v,
             "remat": args.remat,
+            "donate": not args.no_donate,
             "exec_time_optimization_effort": args.effort,
             "compile_s": round(_time.perf_counter() - _t0, 1),
             "per_device_batch": args.batch,
@@ -221,6 +232,7 @@ def main():
     out = {
         "variant": v,
         "remat": args.remat,
+        "donate": not args.no_donate,
         "exec_time_optimization_effort": args.effort,
         "compile_s": round(compile_s, 1),
         "per_device_batch": args.batch,
