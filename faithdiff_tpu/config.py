@@ -190,8 +190,9 @@ class TrainConfig:
     # micro-batch gradient accumulation (the reference's accelerate
     # `gradient_accumulation_steps: 4`, `accelerate_config.yaml:9`).
     # 1 = every step is an optimizer step. The stage-2 runner defaults to
-    # batch 4/dev x accum 8 on v5e-8 — the measured memory-fit plan that
-    # preserves the reference's effective batch 256 (16 x 4 proc x 4).
+    # batch 2/dev x accum 16 on v5e-8 — the measured memory-fit plan (the
+    # only configuration the real v5e compiler PASSED; PERFORMANCE.md
+    # stage-2 table) preserving the reference's effective 256 (16 x 4 x 4).
     grad_accum: int = 1
     learning_rate: float = 5e-5
     vis_learning_rate: float = 5e-6  # stage-2 denoise_encoder LR

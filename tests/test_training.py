@@ -253,8 +253,11 @@ def test_grad_accumulation_semantics():
 
 def test_resolve_stage_defaults():
     """Stage-2 defaults are the MEASURED v5e memory-fit plan (remat on,
-    batch 4/dev x accum 8 = the reference's effective 256); stage 1 is the
-    reference launch recipe verbatim; explicit flags win."""
+    batch 2/dev x accum 16 = the reference's effective 256 — the only row
+    of the PERFORMANCE.md stage-2 matrix the real v5e compiler PASSED;
+    batch 4 measured over capacity); stage 1 is the reference launch
+    recipe verbatim; explicit flags win. Effective batch invariant:
+    batch x 8 devices x accum == 256 for both stages."""
     import argparse
 
     from faithdiff_tpu.training.runner import resolve_stage_defaults
@@ -267,7 +270,8 @@ def test_resolve_stage_defaults():
     a = argparse.Namespace(stage=2, train_batch_size=None, grad_accum=None,
                            remat=None)
     resolve_stage_defaults(a)
-    assert (a.train_batch_size, a.grad_accum, a.remat) == (4, 8, 1)
+    assert (a.train_batch_size, a.grad_accum, a.remat) == (2, 16, 1)
+    assert a.train_batch_size * 8 * a.grad_accum == 256  # reference recipe
 
     a = argparse.Namespace(stage=2, train_batch_size=2, grad_accum=1,
                            remat=0)
